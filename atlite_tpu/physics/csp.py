@@ -1,0 +1,72 @@
+"""Concentrated solar power — device kernels.
+
+Parity with /root/reference/atlite/csp.py:18-58 (DNI with low-altitude
+sanitation) and /root/reference/atlite/convert.py:940-971 (solar-position-
+dependent field efficiency via 2-D interpolation of the installation's
+(altitude, azimuth) efficiency table).
+
+The efficiency lookup is a gather + bilinear-weight kernel over the regular
+table grid — out-of-range queries produce NaN (like xarray's ``interp``)
+which the converter zero-fills, preserving reference semantics.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def calculate_dni(influx_direct, altitude, altitude_threshold=3.75):
+    """DNI on the sun-normal plane (csp.py:18-58).
+
+    Altitudes <= 0 produce NaN (-> zero output later); altitudes in
+    (0, threshold] are floored at the threshold to avoid the 1/sin blowup.
+    """
+    thr = np.radians(altitude_threshold)
+    alt = jnp.where(altitude > 0, altitude, jnp.nan)
+    alt = jnp.where(alt > thr, alt, thr)
+    return influx_direct / jnp.sin(alt)
+
+
+def interp2d_regular(xgrid, ygrid, table, xq, yq):
+    """Bilinear interpolation of ``table`` (len(xgrid), len(ygrid)) at query
+    points; NaN outside the grid hull (matches xarray .interp bounds
+    behavior used at convert.py:952-954)."""
+    xgrid = jnp.asarray(xgrid)
+    ygrid = jnp.asarray(ygrid)
+    ix = jnp.clip(jnp.searchsorted(xgrid, xq, side="right") - 1, 0, len(xgrid) - 2)
+    iy = jnp.clip(jnp.searchsorted(ygrid, yq, side="right") - 1, 0, len(ygrid) - 2)
+    x0, x1 = xgrid[ix], xgrid[ix + 1]
+    y0, y1 = ygrid[iy], ygrid[iy + 1]
+    wx = (xq - x0) / (x1 - x0)
+    wy = (yq - y0) / (y1 - y0)
+    v00 = table[ix, iy]
+    v01 = table[ix, iy + 1]
+    v10 = table[ix + 1, iy]
+    v11 = table[ix + 1, iy + 1]
+    val = (v00 * (1 - wx) * (1 - wy) + v10 * wx * (1 - wy)
+           + v01 * (1 - wx) * wy + v11 * wx * wy)
+    oob = (xq < xgrid[0]) | (xq > xgrid[-1]) | (yq < ygrid[0]) | (yq > ygrid[-1])
+    return jnp.where(oob, jnp.nan, val)
+
+
+def csp_specific_generation(fields, solar_position, installation):
+    """Thermal output per reference capacity (convert.py:940-971)."""
+    tech = installation["technology"]
+    if tech == "parabolic trough":
+        irradiation = fields["influx_direct"]
+    elif tech == "solar tower":
+        irradiation = calculate_dni(fields["influx_direct"], solar_position["altitude"])
+    else:
+        raise ValueError(f'Unknown CSP technology option "{tech}".')
+
+    eff = interp2d_regular(
+        jnp.asarray(installation["efficiency_altitude"]),
+        jnp.asarray(installation["efficiency_azimuth"]),
+        jnp.asarray(installation["efficiency_table"]),
+        solar_position["altitude"],
+        solar_position["azimuth"],
+    )
+    da = eff * irradiation / installation["r_irradiance"]
+    da = jnp.clip(da, None, 1.0)
+    return jnp.nan_to_num(da, nan=0.0)

@@ -1,0 +1,152 @@
+"""Benchmark: combined wind+PV capacity-factor pipeline throughput.
+
+Metric (BASELINE.md north star): grid-cell-hours/s through the full
+convert -> aggregate step (wind CF + PV CF + bus aggregation, one fused
+XLA computation) on a synthetic ERA5-like cutout.
+
+vs_baseline: ratio against the numpy single-thread reference
+implementation (atlite_tpu.reference_impl) of the same pipeline — the
+stand-in for the reference's numpy-under-dask execution, timed on a time
+slice and scaled.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_inputs(T, Y, X, B, seed=3):
+    import pandas as pd
+
+    from atlite_tpu.core.grid import Grid
+    from atlite_tpu.core.timeutil import solar_ephemeris
+    from atlite_tpu.datasets import synthetic
+
+    x = np.linspace(-12.0, 18.0, X)
+    y = np.linspace(35.0, 60.0, Y)
+    times = pd.date_range("2013-01-01", periods=T, freq="h").values
+    grid = Grid(x=x, y=y, time=times)
+
+    class _Stub:
+        grid_desc = grid
+        attrs = {"seed": seed}
+
+    fields = {}
+    for feature in ("wind", "influx", "temperature", "height"):
+        for var, (dims, arr) in synthetic.get_data(_Stub(), feature).items():
+            fields[var] = np.asarray(arr, dtype=np.float32)
+    eph = {k: np.asarray(v, dtype=np.float32)
+           for k, v in solar_ephemeris(times).items()}
+
+    rng = np.random.default_rng(0)
+    matrix = (rng.random((B, Y * X), dtype=np.float32)
+              * (rng.random((B, Y * X)) < 0.05)).astype(np.float32)
+
+    V = np.arange(0.0, 26.0, 0.5, dtype=np.float32)
+    POWn = np.clip((V**3 - 27.0) / (12.0**3 - 27.0), 0, 1).astype(np.float32)
+    POWn[V >= 25.0] = 0.0
+    return fields, eph, x.astype(np.float32), y.astype(np.float32), V, POWn, matrix
+
+
+def numpy_baseline_seconds(fields, lat, V, POWn, matrix, t_sub=48):
+    """Time the numpy reference path on a t_sub slice; returns secs/step
+    scaled to the full T."""
+    from atlite_tpu import reference_impl as ref
+
+    T = fields["wnd100m"].shape[0]
+    sub = {k: (v[:t_sub] if np.ndim(v) == 3 else v) for k, v in fields.items()}
+    panel = {"c_temp_amb": 1.0, "c_temp_irrad": 0.035, "r_tmod": 298.0,
+             "r_irradiance": 1000.0, "k_1": -0.017162, "k_2": -0.040289,
+             "k_3": -0.004681, "k_4": 0.000148, "k_5": 0.000169,
+             "k_6": 0.000005, "inverter_efficiency": 0.9}
+    t0 = time.perf_counter()
+    wind_cf = ref.wind_cf_numpy(sub, V, POWn, 1.0, 80.0)
+    pv_cf = ref.pv_cf_numpy(sub, lat, panel)
+    _ = wind_cf.reshape(t_sub, -1) @ matrix.T
+    _ = pv_cf.reshape(t_sub, -1) @ matrix.T
+    dt = time.perf_counter() - t0
+    return dt * (T / t_sub)
+
+
+def main():
+    size = os.environ.get("BENCH_SIZE", "default")
+    if size == "small":
+        T, Y, X, B = 24 * 14, 48, 64, 12
+    else:
+        T, Y, X, B = 2184, 96, 128, 20  # 3 months x ~Europe at 0.25 deg
+
+    import jax
+
+    fields_np, eph_np, lon, lat, V, POWn, matrix = build_inputs(T, Y, X, B)
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    import __graft_entry__ as ge
+
+    step = ge._step_fn()
+    fields = {k: jax.device_put(v) for k, v in fields_np.items()}
+    eph = {k: jax.device_put(v) for k, v in eph_np.items()}
+    args = (fields, eph, jax.device_put(lon), jax.device_put(lat),
+            jax.device_put(V), jax.device_put(POWn), jax.device_put(matrix))
+
+    # Time K chained executions inside ONE jit and difference two run
+    # lengths: async-dispatch quirks and host<->device round-trip latency
+    # cancel out, leaving pure device time per step.  The carry feeds an
+    # un-foldable perturbation into the next step so XLA cannot CSE the
+    # iterations away.
+    def chained(n):
+        @jax.jit
+        def run(fields, eph, lon, lat, V, POWn, matrix):
+            def body(carry, _):
+                f = dict(fields)
+                f["temperature"] = f["temperature"] + carry * 1e-30
+                wb, pb = step(f, eph, lon, lat, V, POWn, matrix)
+                return jnp.sum(wb) + jnp.sum(pb), None
+            out, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
+        return run
+
+    k1, k2 = 2, 12
+    run1, run2 = chained(k1), chained(k2)
+    float(run1(*args))  # compile + warm
+    float(run2(*args))
+
+    def timed(run):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(*args))  # host readback forces full sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    device_secs = (timed(run2) - timed(run1)) / (k2 - k1)
+
+    cell_hours = T * Y * X
+    throughput = cell_hours / device_secs
+
+    base_secs = numpy_baseline_seconds(fields_np, lat, V, POWn, matrix)
+    vs_baseline = base_secs / device_secs
+
+    print(json.dumps({
+        "metric": "grid-cell-hours/s (wind+PV CF + bus aggregation)",
+        "value": round(throughput, 1),
+        "unit": "cell-hours/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "T": T, "Y": Y, "X": X, "buses": B,
+            "device_secs_per_step": round(device_secs, 6),
+            "baseline_secs_per_step": round(base_secs, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
