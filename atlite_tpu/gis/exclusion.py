@@ -32,6 +32,7 @@ from atlite_tpu.gis.raster import (
     Raster,
     binary_dilation,
     geometry_mask,
+    pad_extent,
     padded_transform_and_shape,
     reproject_average,
     reproject_nearest,
@@ -112,6 +113,22 @@ class ExclusionContainer:
         )
 
 
+def _bounds_overlap(raster, window_bounds, window_crs):
+    """Do the raster's bounds (in its own CRS) intersect the fine window?"""
+    from atlite_tpu.gis.crs import normalize_crs as _n
+
+    rxmin, rymin, rxmax, rymax = raster.bounds
+    if _n(raster.crs) != _n(window_crs):
+        # sample the raster bounds' corners into the window CRS
+        xs = np.array([rxmin, rxmax, rxmin, rxmax])
+        ys = np.array([rymin, rymin, rymax, rymax])
+        tx, ty = transform_points(xs, ys, raster.crs, window_crs)
+        rxmin, rxmax = tx.min(), tx.max()
+        rymin, rymax = ty.min(), ty.max()
+    wxmin, wymin, wxmax, wymax = window_bounds
+    return not (rxmax < wxmin or rxmin > wxmax or rymax < wymin or rymin > wymax)
+
+
 def _as_geometry_list(geometry, src_crs, dst_crs):
     if isinstance(geometry, (G.Geometry,)) or hasattr(geometry, "__geo_interface__"):
         geometry = [geometry]
@@ -140,10 +157,22 @@ def shape_availability(geometry, excluder, geometry_crs=None):
     masked = geometry_mask(geoms, shape, transform)  # True OUTSIDE the shape
     exclusions = masked.copy()
 
+    window_bounds = (
+        transform.c, transform.f + transform.e * shape[0],
+        transform.c + transform.a * shape[1], transform.f,
+    )
     for d in excluder.rasters:
         r = d["raster"]
-        masked_r = reproject_nearest(r, transform, excluder.crs, shape,
-                                     nodata=d["nodata"])
+        if not _bounds_overlap(r, window_bounds, excluder.crs):
+            if not d["allow_no_overlap"]:
+                raise ValueError(
+                    "Raster and geometry do not overlap; pass "
+                    "allow_no_overlap=True to allow this."
+                )
+            masked_r = np.full(shape, d["nodata"])
+        else:
+            masked_r = reproject_nearest(r, transform, excluder.crs, shape,
+                                         nodata=d["nodata"])
         if d["codes"] is not None:
             if callable(d["codes"]):
                 sel = np.asarray(d["codes"](masked_r)).astype(bool)
@@ -177,6 +206,8 @@ def shape_availability_reprojected(geometry, excluder, dst_transform, dst_crs,
     """Fine availability mask average-downsampled onto the target raster
     (gis.py:328-373).  Returns (float availability share, dst transform)."""
     masked, transform = shape_availability(geometry, excluder, geometry_crs)
+    masked, transform = pad_extent(masked, transform, dst_transform,
+                                   excluder.crs, dst_crs)
     src = Raster(masked.astype(np.uint8), transform, excluder.crs, nodata=None)
     out = reproject_average(src, dst_transform, dst_crs, dst_shape, nodata=0.0)
     return np.nan_to_num(out, nan=0.0), dst_transform

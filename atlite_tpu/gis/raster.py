@@ -89,6 +89,32 @@ def padded_transform_and_shape(bounds, res):
     return Affine(res, 0, left, 0, -res, top), shape
 
 
+def pad_extent(src, src_transform, dst_transform, src_crs, dst_crs,
+               mode="constant"):
+    """Pad ``src`` by one destination-cell equivalent (reference
+    gis.py:233-260) so average-resampling sees the src's surroundings
+    (zeros for masks, edge values for fields) instead of dropping them.
+
+    Returns (padded_src, padded_transform)."""
+    src = np.asarray(src)
+    if src.size == 0:
+        return src, src_transform
+    x0, y0 = src_transform * (0, 0)
+    x1, y1 = src_transform * (1, 1)
+    cx, cy = transform_points(np.array([x0, x1]), np.array([y0, y1]),
+                              src_crs, dst_crs)
+    covered_res = min(abs(cx[1] - cx[0]), abs(cy[1] - cy[0]))
+    pad = int(abs(dst_transform.a) // covered_res * 1.1)
+    if pad == 0:
+        return src, src_transform
+    npad = ((0, 0),) * (src.ndim - 2) + ((pad, pad), (pad, pad))
+    padded = np.pad(src, npad, mode=mode)
+    t = list(src_transform)
+    t[2] -= pad * t[0]
+    t[5] -= pad * t[4]
+    return padded, Affine(*t)
+
+
 def geometry_mask(geometries, shape, transform, invert=False):
     """True outside the geometries (rasterio.features.geometry_mask default);
     invert=True -> True inside.  Membership = pixel-center containment."""
@@ -117,25 +143,60 @@ def _dst_pixel_of_points(x, y, dst_transform, dst_shape):
     return ri, ci, ok
 
 
+def overlap_matrix(start_s, step_s, n_s, start_d, step_d, n_d):
+    """(n_d, n_s) matrix of interval overlap lengths between a source and a
+    destination 1-D cell lattice (cells [start + i*step, start + (i+1)*step]).
+
+    This is the separable building block of exact area-weighted average
+    resampling: out = Wy @ src @ Wx.T — two small matmuls, which is also
+    precisely the formulation the TPU device kernel uses (MXU)."""
+    se = start_s + step_s * np.arange(n_s + 1)
+    de = start_d + step_d * np.arange(n_d + 1)
+    slo, shi = np.minimum(se[:-1], se[1:]), np.maximum(se[:-1], se[1:])
+    dlo, dhi = np.minimum(de[:-1], de[1:]), np.maximum(de[:-1], de[1:])
+    return np.clip(
+        np.minimum(dhi[:, None], shi[None, :]) - np.maximum(dlo[:, None], slo[None, :]),
+        0.0, None,
+    )
+
+
 def reproject_average(src: Raster, dst_transform, dst_crs, dst_shape,
                       nodata=np.nan):
     """Average-resample src onto the destination grid.
 
-    Each source pixel center is projected into the destination CRS and
-    contributes equally to the destination pixel containing it; destination
-    pixels with no contributors get ``nodata``.  For integer downsampling
-    ratios in a common CRS this is the exact block mean (the semantics the
-    reference pins in test_gis.py:251-292).
+    Same-CRS axis-aligned grids use exact area-weighted overlap (GDAL
+    Resampling.average semantics incl. fractional pixel contributions — the
+    conformance case pinned by reference test_gis.py:251-292 and the
+    availability-matrix equality of test_gis.py:335-348).  Cross-CRS falls
+    back to center-point scatter-mean (GDAL itself approximates here).
     """
+    from atlite_tpu.gis.crs import normalize_crs as _n
+
+    vals = np.asarray(src.data, dtype=float)
+    valid = ~np.isnan(vals)
+    if src.nodata is not None and not np.isnan(src.nodata):
+        valid &= vals != src.nodata
+
+    if _n(src.crs) == _n(dst_crs):
+        st, dt = src.transform, dst_transform
+        assert st.b == 0 and st.d == 0 and dt.b == 0 and dt.d == 0
+        Wx = overlap_matrix(st.c, st.a, src.shape[1], dt.c, dt.a, dst_shape[1])
+        Wy = overlap_matrix(st.f, st.e, src.shape[0], dt.f, dt.e, dst_shape[0])
+        v = np.where(valid, vals, 0.0)
+        num = Wy @ v @ Wx.T
+        den = Wy @ valid.astype(float) @ Wx.T
+        with np.errstate(invalid="ignore"):
+            out = num / den
+        out[den <= 0] = nodata
+        return out
+
     x, y = src.pixel_centers()
     xd, yd = transform_points(x.ravel(), y.ravel(), src.crs, dst_crs)
     ri, ci, ok = _dst_pixel_of_points(xd, yd, dst_transform, dst_shape)
-    vals = np.asarray(src.data, dtype=float).ravel()
-    if src.nodata is not None and not np.isnan(src.nodata):
-        ok &= vals != src.nodata
-    ok &= ~np.isnan(vals)
+    ok &= valid.ravel()
+    vflat = vals.ravel()
     flat = ri[ok] * dst_shape[1] + ci[ok]
-    sums = np.bincount(flat, weights=vals[ok], minlength=dst_shape[0] * dst_shape[1])
+    sums = np.bincount(flat, weights=vflat[ok], minlength=dst_shape[0] * dst_shape[1])
     counts = np.bincount(flat, minlength=dst_shape[0] * dst_shape[1])
     with np.errstate(invalid="ignore"):
         out = sums / counts

@@ -33,10 +33,14 @@ class Resampling:
     nearest = "nearest"
 
 
+# rasterio.enums.Resampling integer codes used by reference callers
+_RESAMPLING_CODES = {0: "nearest", 1: "bilinear", 5: "average"}
+
+
 def _as_transform(x, y):
     """Affine of an ascending-coordinate grid (reference gis.py:781-788)."""
-    dx = float(x[-1] - x[0]) / float(len(x) - 1)
-    dy = float(y[-1] - y[0]) / float(len(y) - 1)
+    dx = float(x[-1] - x[0]) / float(len(x) - 1) if len(x) > 1 else 1.0
+    dy = float(y[-1] - y[0]) / float(len(y) - 1) if len(y) > 1 else 1.0
     return Affine(dx, 0, float(x[0]) - dx / 2, 0, dy, float(y[0]) - dy / 2)
 
 
@@ -45,6 +49,8 @@ def regrid(da, dimx, dimy, resampling="bilinear", src_crs=4326, dst_crs=4326):
     coordinate arrays ``dimx``/``dimy`` (reference gis.py:791-871)."""
     import pandas as pd
 
+    if isinstance(resampling, int):
+        resampling = _RESAMPLING_CODES.get(resampling, resampling)
     dimx = pd.Index(np.asarray(dimx), name="x")
     dimy = pd.Index(np.asarray(dimy), name="y")
     src_x = np.asarray(da.coords["x"].values, dtype=float)

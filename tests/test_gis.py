@@ -1,0 +1,329 @@
+"""GIS engine tests — regrid block-average conformance, indicator matrices,
+exclusion/availability exact-share cases (model: reference test/test_gis.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from atlite_tpu import ExclusionContainer
+from atlite_tpu.core.grid import Affine
+from atlite_tpu.dataarray import DataArray
+from atlite_tpu.gis.crs import transform_points
+from atlite_tpu.gis.exclusion import shape_availability
+from atlite_tpu.gis.geometry import box
+from atlite_tpu.gis.raster import Raster, padded_transform_and_shape
+
+X0, Y0, X1, Y1 = -4.0, 56.0, 1.5, 61.0
+RASTER_CLIP = 0.25
+
+
+@pytest.fixture(scope="module")
+def raster():
+    """Random 0/1 exclusion raster at 0.01 deg over the test region."""
+    transform, shape = padded_transform_and_shape((X0, Y0, X1, Y1), 0.01)
+    rng = np.random.default_rng(0)
+    mask = (rng.random(shape) < RASTER_CLIP).astype(np.int32)
+    return Raster(mask, transform, crs=4326, nodata=255)
+
+
+@pytest.fixture(scope="module")
+def raster_codes():
+    transform, shape = padded_transform_and_shape((X0, Y0, X1, Y1), 0.01)
+    rng = np.random.default_rng(1)
+    mask = (rng.random(shape) * 100).astype(np.int32)
+    return Raster(mask, transform, crs=4326, nodata=255)
+
+
+@pytest.fixture(scope="module")
+def raster_3035():
+    bx, by = transform_points(np.array([X0, X1]), np.array([Y0, Y1]), 4326, 3035)
+    # conservative rectangle in 3035 covering the region
+    x0, y0 = transform_points(
+        np.array([X0, X0, X1, X1]), np.array([Y0, Y1, Y0, Y1]), 4326, 3035
+    )
+    bounds = (x0.min() - 5e4, y0.min() - 5e4, x0.max() + 5e4, y0.max() + 5e4)
+    transform, shape = padded_transform_and_shape(bounds, 1000)
+    rng = np.random.default_rng(2)
+    mask = (rng.random(shape) < RASTER_CLIP).astype(np.int32)
+    return Raster(mask, transform, crs=3035, nodata=255)
+
+
+# ---------------------------------------------------------------- regrid
+def test_regrid_average_exact_blocks():
+    """Block-average semantics pinned by reference test_gis.py:251-292."""
+    from atlite_tpu.gis.regrid import regrid
+
+    A, B, C, D = 0.25, 0.5, 0.3, 0.1
+    ones = np.ones((4, 4))
+    fine = np.block([[ones * A, ones * B], [ones * C, ones * D]])
+    finecoords = np.arange(0.5, 8, 1)
+    da = DataArray(fine, coords={"y": finecoords, "x": finecoords}, dims=("y", "x"))
+
+    coarse = np.arange(2, 8, 4)
+    res = regrid(da, coarse, coarse, resampling=5)
+    np.testing.assert_allclose(res.values, [[A, B], [C, D]])
+    np.testing.assert_array_equal(res.coords["x"].values, coarse)
+
+    # multiple layers
+    fine3 = np.stack([fine] * 10)
+    da3 = DataArray(fine3, coords={"z": range(10), "y": finecoords, "x": finecoords},
+                    dims=("z", "y", "x"))
+    res3 = regrid(da3, coarse, coarse, resampling=5)
+    np.testing.assert_allclose(res3.values, np.stack([[[A, B], [C, D]]] * 10))
+
+    # subarea target
+    coarse2 = np.arange(1, 6, 2)
+    res2 = regrid(da, coarse2, coarse2, resampling=5)
+    np.testing.assert_allclose(
+        res2.values, [[A, A, B], [A, A, B], [C, C, D]]
+    )
+
+
+def test_regrid_nearest_and_bilinear():
+    from atlite_tpu.gis.regrid import regrid
+
+    v = np.arange(16, dtype=float).reshape(4, 4)
+    c = np.arange(0.5, 4, 1)
+    da = DataArray(v, coords={"y": c, "x": c}, dims=("y", "x"))
+    res_n = regrid(da, c, c, resampling="nearest")
+    np.testing.assert_array_equal(res_n.values, v)
+    res_b = regrid(da, c, c, resampling="bilinear")
+    np.testing.assert_allclose(res_b.values, v)
+    # bilinear midpoint between first two columns
+    res_m = regrid(da, np.array([1.0]), np.array([0.5]), resampling="bilinear")
+    np.testing.assert_allclose(res_m.values, [[0.5]])
+
+
+# ------------------------------------------------------- indicator matrix
+def test_indicator_matrix_corner_cell(cutout):
+    cell = cutout.grid.geometry.iloc[0]
+    indicator = cutout.indicatormatrix([cell])
+    assert np.isclose(indicator[0, 0], 1.0)
+    assert np.isclose(indicator.sum(), 1.0)
+    cell = cutout.grid.geometry.iloc[-2]
+    indicator = cutout.indicatormatrix([cell])
+    ncells = cutout.shape[0] * cutout.shape[1]
+    assert np.isclose(indicator[0, ncells - 2], 1.0)
+    assert np.isclose(indicator.sum(), 1.0)
+
+
+def test_indicator_matrix_partial_overlap(cutout):
+    # a half-cell-shifted cell overlaps 4 cells with weight 1/4 each
+    g = cutout.grid_desc
+    cx, cy = g.x[5] + g.dx / 2, g.y[5] + g.dy / 2
+    cell = box(cx - g.dx / 2, cy - g.dy / 2, cx + g.dx / 2, cy + g.dy / 2)
+    indicator = cutout.indicatormatrix([cell])
+    vals = np.asarray(indicator.todense()).ravel()
+    nz = vals[vals > 0]
+    assert len(nz) == 4
+    np.testing.assert_allclose(nz, 0.25)
+
+
+def test_intersection_matrix_line(cutout):
+    from atlite_tpu.gis.geometry import LineString
+
+    g = cutout.grid_desc
+    # horizontal line through the middle of row 3
+    line = LineString([(g.x[0], g.y[3]), (g.x[-1], g.y[3])])
+    I = cutout.intersectionmatrix([line])
+    rows, cols = I.nonzero()
+    assert len(cols) == len(g.x)  # every cell of that row
+    assert np.all(cols // len(g.x) == 3)
+
+
+# ----------------------------------------------------------- exclusions
+def test_open_closed_checks(raster, tmp_path):
+    path = tmp_path / "r.npz"
+    raster.save(path)
+    excluder = ExclusionContainer(4326, res=0.01)
+    assert excluder.all_closed and excluder.all_open
+    excluder.add_raster(path)
+    assert excluder.all_closed and not excluder.all_open
+    excluder.open_files()
+    assert excluder.all_open and not excluder.all_closed
+
+
+def test_shape_availability_area_3035():
+    shapes = [box(X0 + 1, Y0 + 1, X1 - 1, Y1 - 1)]
+    excluder = ExclusionContainer(crs=3035, res=300)
+    masked, transform = shape_availability(shapes, excluder, geometry_crs=4326)
+    from atlite_tpu.gis.geometry import transform_geometry
+
+    area = transform_geometry(shapes[0], 4326, 3035).area
+    assert np.isclose(masked.sum() * 300**2, area, rtol=5e-3)
+
+
+def test_exclude_geometry_quarter():
+    """Excluding a quarter leaves 3/4 (reference test_gis.py:457-480)."""
+    shapes = [box(X0, Y0, X1, Y1)]
+    exclude = [box(X0 / 2 + X1 / 2, Y0 / 2 + Y1 / 2, X1, Y1)]
+    res = 0.01
+    area = (X1 - X0) * (Y1 - Y0)
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_geometry(exclude)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert np.isclose(3 * area / 4, masked.sum() * res**2, rtol=1e-2)
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_geometry(exclude, invert=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert np.isclose(area / 4, masked.sum() * res**2, rtol=1e-2)
+
+
+def test_exclude_raster_half(raster):
+    """Random raster at known clip ratio (reference test_gis.py:483-517)."""
+    shapes = [box(X0, Y0, X1, Y1)]
+    res = 0.01
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    ratio = masked.sum() / masked.size
+    assert round(ratio, 2) == 1 - RASTER_CLIP
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, invert=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert round(masked.sum() / masked.size, 2) == RASTER_CLIP
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, buffer=res)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert masked.sum() / masked.size < 1 - RASTER_CLIP
+
+
+def test_partial_overlap(raster):
+    """Raster covering half the shape (reference test_gis.py:520-542)."""
+    bounds = (X0 - 2, Y0, X0 + 2, Y1)
+    area = abs((bounds[2] - bounds[0]) * (bounds[3] - bounds[1]))
+    shapes = [box(*bounds)]
+    res = 0.01
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, codes=[0, 1])
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert np.isclose(masked.sum() * res**2, area / 2, rtol=1e-2)
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, nodata=0)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert masked.sum() * res**2 > area / 2
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, nodata=1)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert masked.sum() * res**2 < area / 2
+
+
+def test_no_overlap(raster):
+    """allow_no_overlap flag (reference test_gis.py:545-572)."""
+    bounds = (X0 - 10.0, Y0 - 10.0, X0 - 2.0, Y0 - 2.0)
+    area = abs((bounds[2] - bounds[0]) * (bounds[3] - bounds[1]))
+    shapes = [box(*bounds)]
+    res = 0.01
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster)
+    with pytest.raises(ValueError):
+        shape_availability(shapes, excluder, geometry_crs=4326)
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, allow_no_overlap=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert (masked == 0).all()
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, allow_no_overlap=True, codes=[1, 255], invert=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert np.isclose(masked.sum() * res**2, area, rtol=1e-6)
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster, allow_no_overlap=True, nodata=0)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert np.isclose(masked.sum() * res**2, area, rtol=1e-6)
+
+
+def test_raster_codes(raster_codes):
+    """Code filters incl. callable (reference test_gis.py:629-652)."""
+    shapes = [box(X0, Y0, X1, Y1)]
+    res = 0.01
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster_codes, codes=range(20))
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    ratio = masked.sum() / masked.size
+    assert round(ratio, 1) == 0.8
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster_codes, codes=range(20), invert=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    ratio = masked.sum() / masked.size
+    assert round(ratio, 1) == 0.2
+
+    excluder = ExclusionContainer(4326, res=res)
+    excluder.add_raster(raster_codes, codes=lambda x: x < 20, invert=True)
+    masked, _ = shape_availability(shapes, excluder, geometry_crs=4326)
+    assert ratio == masked.sum() / masked.size
+
+
+# ------------------------------------------------- availability matrix
+def test_availability_matrix_flat(cutout):
+    """Empty excluder availability == indicator matrix
+    (reference test_gis.py:335-348)."""
+    shapes = pd.Series([box(X0 + 1, Y0 + 1, X1 - 1, Y1 - 1)]).rename_axis("shape")
+    I = np.asarray(cutout.indicatormatrix(shapes).todense()).sum(0).reshape(cutout.shape)
+    excluder = ExclusionContainer(4326, res=0.01)
+    ds = cutout.availabilitymatrix(shapes, excluder)
+    assert np.allclose(I, np.asarray(ds.values).sum(0), atol=0.02)
+
+
+def test_availability_matrix_rastered(cutout, raster):
+    """Raster exclusion scales availability by the eligible share
+    (reference test_gis.py:575-600)."""
+    shapes = pd.Series([
+        box(X0 + 1, Y0 + 1, X1 - 1, Y0 / 2 + Y1 / 2),
+        box(X0 + 1, Y0 / 2 + Y1 / 2, X1 - 1, Y1 - 1),
+    ]).rename_axis("shape")
+    I = np.asarray(cutout.indicatormatrix(shapes).todense())
+    I = I.reshape((2,) + cutout.shape)
+    excluder = ExclusionContainer(4326, res=0.01)
+    excluder.add_raster(raster)
+    ds = cutout.availabilitymatrix(shapes, excluder)
+    eligible = 1 - RASTER_CLIP
+    assert np.isclose(I.sum() * eligible, np.asarray(ds.values).sum(), atol=5)
+    np.testing.assert_allclose(
+        I.sum(axis=(1, 2)) * eligible, np.asarray(ds.values).sum(axis=(1, 2)),
+        atol=5,
+    )
+
+
+def test_availability_matrix_rastered_repro(cutout, raster_3035):
+    """Same with a CRS-reprojected raster (reference test_gis.py:603-626)."""
+    shapes = pd.Series([
+        box(X0 + 1, Y0 + 1, X1 - 1, Y0 / 2 + Y1 / 2),
+        box(X0 + 1, Y0 / 2 + Y1 / 2, X1 - 1, Y1 - 1),
+    ]).rename_axis("shape")
+    I = np.asarray(cutout.indicatormatrix(shapes).todense())
+    I = I.reshape((2,) + cutout.shape)
+    excluder = ExclusionContainer()  # default 3035 / 100 m
+    excluder.add_raster(raster_3035)
+    ds = cutout.availabilitymatrix(shapes, excluder)
+    eligible = 1 - RASTER_CLIP
+    assert np.isclose(I.sum() * eligible, np.asarray(ds.values).sum(), atol=5)
+
+
+# ------------------------------------------------------------------ area
+def test_area_latlon(cutout):
+    area = cutout.area()  # in 4326: degrees^2
+    total = float(np.asarray(area.values).sum())
+    ex = cutout.extent
+    assert np.isclose(total, (ex[1] - ex[0]) * (ex[3] - ex[2]), rtol=1e-9)
+
+
+def test_area_3035_plausible(cutout):
+    area = cutout.area(crs=3035)
+    vals = np.asarray(area.values)
+    # 0.25 deg cell at ~58N: ~28 km x 16 km ~ 4.5e8 m^2
+    assert vals.min() > 2e8 and vals.max() < 8e8
+    # cells shrink with latitude
+    assert vals[0].mean() > vals[-1].mean()
