@@ -1,0 +1,169 @@
+"""Converter semantics: temperature family, COP, heat/cooling demand,
+solar thermal, CSP (model: reference test/test_preparation_and_conversion.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from atlite_tpu import Cutout
+
+
+def test_temperature_is_celsius(cutout):
+    out = cutout.temperature(aggregate_time=None)
+    np.testing.assert_allclose(
+        np.asarray(out.values), np.asarray(cutout.data["temperature"]) - 273.15,
+        rtol=1e-12,
+    )
+
+
+def test_soil_temperature_sea_zeroed(cutout):
+    out = cutout.soil_temperature(aggregate_time=None)
+    vals = np.asarray(out.values)
+    raw = np.asarray(cutout.data["soil temperature"])
+    assert np.isnan(raw).any()  # synthetic data has sea NaNs
+    assert not np.isnan(vals).any()
+    np.testing.assert_allclose(vals[~np.isnan(raw)],
+                               (raw - 273.15)[~np.isnan(raw)], rtol=1e-12)
+    assert (vals[np.isnan(raw)] == 0).all()
+
+
+def test_dewpoint_below_temperature(cutout):
+    t = cutout.temperature(aggregate_time=None)
+    d = cutout.dewpoint_temperature(aggregate_time=None)
+    assert np.all(np.asarray(d.values) <= np.asarray(t.values) + 1e-9)
+
+
+def test_cop_defaults_and_quadratic(cutout):
+    cop = cutout.coefficient_of_performance(aggregate_time=None)
+    T = np.asarray(cutout.data["temperature"]) - 273.15
+    dT = 55.0 - T
+    expected = 6.81 - 0.121 * dT + 0.000630 * dT**2
+    np.testing.assert_allclose(np.asarray(cop.values), expected, rtol=1e-9)
+
+    cop_soil = cutout.coefficient_of_performance(source="soil",
+                                                 aggregate_time=None)
+    assert not np.allclose(np.asarray(cop_soil.values), np.asarray(cop.values))
+    with pytest.raises(NotImplementedError):
+        cutout.coefficient_of_performance(source="water", aggregate_time=None)
+
+
+def test_heat_demand_daily_mean(cutout):
+    hd = cutout.heat_demand(threshold=15.0, a=1.0, aggregate_time=None)
+    assert hd.sizes["time"] == 1  # one day of data
+    T = np.asarray(cutout.data["temperature"])
+    expected = np.clip((15.0 + 273.15) - T.mean(axis=0), 0.0, None)
+    np.testing.assert_allclose(np.asarray(hd.values)[0], expected, rtol=1e-9)
+
+
+def test_heat_demand_hour_shift(cutout_week):
+    hd0 = cutout_week.heat_demand(aggregate_time=None)
+    hd4 = cutout_week.heat_demand(hour_shift=4.0, aggregate_time=None)
+    # shifting the day boundary changes daily means and may add a day
+    assert hd4.sizes["time"] >= hd0.sizes["time"]
+    assert not np.allclose(
+        np.asarray(hd0.values)[1], np.asarray(hd4.values)[1]
+    )
+
+
+def test_cooling_demand_complementary(cutout):
+    heat = cutout.heat_demand(threshold=15.0, aggregate_time=None)
+    cool = cutout.cooling_demand(threshold=15.0, aggregate_time=None)
+    # at any cell, at most one of the two is nonzero (same threshold)
+    h = np.asarray(heat.values)
+    c = np.asarray(cool.values)
+    assert np.all((h == 0) | (c == 0))
+
+
+def test_solar_thermal_nonnegative(cutout):
+    st = cutout.solar_thermal(aggregate_time=None)
+    vals = np.asarray(st.values)
+    assert np.all(vals >= 0)
+    assert vals.max() > 0
+    # collector with huge losses yields less
+    st_lossy = cutout.solar_thermal(c0=0.5, c1=10.0, aggregate_time=None)
+    assert np.asarray(st_lossy.values).sum() < vals.sum()
+
+
+def test_irradiation_hay_davies_close_to_simple(cutout):
+    simple = cutout.irradiation(orientation="latitude_optimal",
+                                trigon_model="simple", aggregate_time=None)
+    hd = cutout.irradiation(orientation="latitude_optimal",
+                            trigon_model="hay-davies", aggregate_time=None)
+    s, h = np.asarray(simple.values), np.asarray(hd.values)
+    assert h.max() > 0
+    # transposition models agree within ~30% on aggregate
+    assert 0.7 < h.sum() / s.sum() < 1.3
+
+
+# ------------------------------------------------------------------- CSP
+def test_csp_solar_tower(cutout):
+    out = cutout.csp("SAM_solar_tower", aggregate_time=None)
+    vals = np.asarray(out.values)
+    assert np.all(vals >= 0) and np.all(vals <= 1.0 + 1e-9)
+    assert vals.max() > 0
+    alt = np.asarray(cutout.data["solar_altitude"])
+    assert np.all(vals[alt <= 0] == 0)
+
+
+def test_csp_lossless_upper_bound(cutout):
+    """Real installation <= lossless installation
+    (reference test_preparation_and_conversion.py:226-253)."""
+    real = cutout.csp("SAM_solar_tower", aggregate_time=None)
+    lossless = cutout.csp("lossless_installation", aggregate_time=None)
+    assert np.all(np.asarray(real.values) <= np.asarray(lossless.values) + 1e-9)
+
+
+def test_csp_trough_vs_tower_technology(cutout):
+    tower = cutout.csp("SAM_solar_tower", aggregate_time=None)
+    as_trough = cutout.csp("SAM_solar_tower", technology="parabolic trough",
+                           aggregate_time=None)
+    assert not np.allclose(np.asarray(tower.values), np.asarray(as_trough.values))
+    with pytest.raises(ValueError):
+        cutout.csp("SAM_solar_tower", technology="fresnel", aggregate_time=None)
+
+
+# ---------------------------------------------------------------- runoff
+def test_runoff_nonnegative_and_weighting(cutout):
+    r_raw = cutout.runoff(weight_with_height=False, aggregate_time=None)
+    assert np.all(np.asarray(r_raw.values) >= 0)
+    # default weights by height (which may be negative below sea level —
+    # reference convert.py:1028-1034 behaves identically)
+    r_w = cutout.runoff(aggregate_time=None)
+    assert not np.allclose(np.asarray(r_w.values), np.asarray(r_raw.values))
+
+
+def test_runoff_smooth_and_threshold(cutout_week):
+    layout = cutout_week.uniform_layout()
+    r = cutout_week.runoff(layout=layout, aggregate_time=None)
+    rs = cutout_week.runoff(layout=layout, smooth=24, aggregate_time=None)
+    assert np.asarray(rs.values).std() <= np.asarray(r.values).std() + 1e-12
+    rt = cutout_week.runoff(layout=layout, lower_threshold_quantile=0.5,
+                            aggregate_time=None)
+    vals = np.asarray(rt.values)
+    assert (vals == 0).sum() >= vals.size // 2 - 1
+
+
+def test_runoff_normalize_using_yearly():
+    c = Cutout(path=None, module="synthetic", x=slice(-1, 0), y=slice(50, 51),
+               time="2013", dtype="float64")
+    c.prepare(features=["runoff", "height"])
+    layout = c.uniform_layout()
+    target = pd.DataFrame({0: [1234.5]}, index=[2013])
+    r = c.runoff(layout=layout, normalize_using_yearly=target,
+                 aggregate_time=None)
+    assert np.isclose(np.asarray(r.values).sum(), 1234.5)
+
+
+def test_higher_altitude_higher_runoff(cutout):
+    """Height weighting boosts mountain runoff (reference
+    test_preparation_and_conversion.py:335-357)."""
+    h = np.asarray(cutout.data["height"])
+    hi = h > np.quantile(h, 0.7)
+    lo = h < np.quantile(h, 0.3)
+    r = np.asarray(cutout.runoff(aggregate_time=None).values).mean(axis=0)
+    rn = np.asarray(
+        cutout.runoff(weight_with_height=False, aggregate_time=None).values
+    ).mean(axis=0)
+    ratio_w = r[hi].mean() / max(r[lo].mean(), 1e-12)
+    ratio_n = rn[hi].mean() / max(rn[lo].mean(), 1e-12)
+    assert ratio_w > ratio_n  # weighting amplifies altitude contrast

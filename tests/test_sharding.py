@@ -1,0 +1,86 @@
+"""Multi-device sharding: N-device results must match single-device
+bitwise/allclose (the analog of the reference's serial-vs-Pool equality,
+test_gis.py:600)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from atlite_tpu.core.mesh import field_spec, make_mesh, shard_fields, table_spec
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_make_mesh_factorization():
+    mesh = make_mesh(jax.devices()[:8])
+    assert mesh.shape["t"] * mesh.shape["x"] == 8
+    mesh6 = make_mesh(jax.devices()[:6])
+    assert mesh6.shape["t"] * mesh6.shape["x"] == 6
+    mesh1 = make_mesh(jax.devices()[:1])
+    assert mesh1.shape["t"] == 1 and mesh1.shape["x"] == 1
+
+
+def test_sharded_pipeline_matches_single_device():
+    import __graft_entry__ as ge
+
+    T, Y, X, B = 8, 8, 16, 3
+    fields, eph, lon, lat, V, POWn, matrix = ge._example_inputs(T=T, Y=Y, X=X, B=B)
+    step = ge._step_fn()
+
+    # single device
+    ref_w, ref_p = jax.jit(step)(fields, eph, lon, lat, V, POWn, matrix)
+
+    # 8-device mesh
+    mesh = make_mesh(jax.devices()[:8])
+    fspec = NamedSharding(mesh, field_spec())
+    f2spec = NamedSharding(mesh, P(None, "x"))
+    tspec = NamedSharding(mesh, table_spec())
+    rep = NamedSharding(mesh, P())
+    fields_s = {k: jax.device_put(v, fspec if np.ndim(v) == 3 else f2spec)
+                for k, v in fields.items()}
+    eph_s = {k: jax.device_put(v, tspec) for k, v in eph.items()}
+    with mesh:
+        out_w, out_p = jax.jit(step)(
+            fields_s, eph_s,
+            jax.device_put(lon, NamedSharding(mesh, P("x"))),
+            jax.device_put(lat, rep), jax.device_put(V, rep),
+            jax.device_put(POWn, rep), jax.device_put(matrix, rep),
+        )
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p), rtol=1e-6)
+
+
+def test_shard_fields_placement():
+    mesh = make_mesh(jax.devices()[:8])
+    T, Y, X = 4 * mesh.shape["t"], 8, 4 * mesh.shape["x"]
+    fields = {"a": np.ones((T, Y, X), np.float32)}
+    tables = {"t": np.ones((T,), np.float32)}
+    f, t = shard_fields(mesh, fields, tables)
+    assert f["a"].sharding.spec == field_spec()
+    assert t["t"].sharding.spec == table_spec()
+
+
+def test_sharded_aggregate():
+    from atlite_tpu.core.mesh import sharded_aggregate
+
+    mesh = make_mesh(jax.devices()[:8])
+    T, Y, X, B = 4 * mesh.shape["t"], 8, 4 * mesh.shape["x"], 5
+    rng = np.random.default_rng(0)
+    field = rng.random((T, Y, X)).astype(np.float32)
+    m = rng.random((B, Y * X)).astype(np.float32)
+    agg = sharded_aggregate(mesh, m)
+    with mesh:
+        out = agg(jax.device_put(field, NamedSharding(mesh, field_spec())))
+    expected = field.reshape(T, -1) @ m.T
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)
