@@ -275,9 +275,11 @@ class Cutout:
         return compute_intersectionmatrix(self.grid_desc, shapes, self.crs, shapes_crs)
 
     def availabilitymatrix(self, shapes, excluder, nprocesses=None,
-                           disable_progressbar=True, shapes_crs=4326):
+                           disable_progressbar=True, shapes_crs=4326,
+                           backend="host"):
         return compute_availabilitymatrix(self, shapes, excluder, nprocesses,
-                                          disable_progressbar, shapes_crs)
+                                          disable_progressbar, shapes_crs,
+                                          backend)
 
     def area(self, crs=None):
         """Grid-cell areas (reference cutout.py:539-562); on the cutout CRS

@@ -214,12 +214,16 @@ def shape_availability_reprojected(geometry, excluder, dst_transform, dst_crs,
 
 
 def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
-                               disable_progressbar=True, shapes_crs=4326):
+                               disable_progressbar=True, shapes_crs=4326,
+                               backend="host"):
     """Eligible share of each cutout cell per shape (gis.py:674-762).
 
     Returns a DataArray (shape, y, x); rows follow the shapes' index.
     ``nprocesses`` is accepted for API parity; the computation is already
-    vectorized and runs in-process.
+    vectorized and runs in-process.  ``backend="device"`` runs the batched
+    TPU path (atlite_tpu.gis.kernels.availability_matrix_device): all
+    shapes rasterized in one kernel on a shared fine lattice and
+    downsampled with overlap matmuls.
     """
     import pandas as pd
 
@@ -230,16 +234,25 @@ def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
                  else list(shapes.values()) if isinstance(shapes, dict)
                  else list(shapes))
 
-    availability = []
-    for geom in geom_list:
-        avail, _ = shape_availability_reprojected(
-            [geom], excluder, cutout.grid_desc.transform_r, cutout.crs,
-            cutout.shape, geometry_crs=shapes_crs,
+    if backend == "device":
+        from atlite_tpu.gis.kernels import availability_matrix_device
+
+        availability = availability_matrix_device(
+            cutout, geom_list, excluder, shapes_crs=shapes_crs
         )
-        availability.append(avail)
-    # the fine mask was computed on the top-down raster; flip to the
-    # ascending-y cutout order (gis.py:707-716, 758)
-    availability = np.stack(availability)[:, ::-1]
+    elif backend == "host":
+        availability = []
+        for geom in geom_list:
+            avail, _ = shape_availability_reprojected(
+                [geom], excluder, cutout.grid_desc.transform_r, cutout.crs,
+                cutout.shape, geometry_crs=shapes_crs,
+            )
+            availability.append(avail)
+        # the fine mask was computed on the top-down raster; flip to the
+        # ascending-y cutout order (gis.py:707-716, 758)
+        availability = np.stack(availability)[:, ::-1]
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     return DataArray(
         availability,
         coords={"shape": index, "y": cutout.grid_desc.y, "x": cutout.grid_desc.x},

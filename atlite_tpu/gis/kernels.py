@@ -1,0 +1,172 @@
+"""Device (TPU) kernels for the GIS subsystem.
+
+TPU-native availability analysis: instead of the reference's per-shape
+loop of GDAL rasterize + warp (multiprocessing Pool, gis.py:661-756), the
+whole availability matrix becomes three batched device operations on one
+shared fine lattice:
+
+1. rasterize all shapes at once — even-odd PIP over (shape, pixel),
+   tiled with lax.map over pixel rows to bound VMEM,
+2. AND with the (host-prepared) exclusion mask of the same lattice,
+3. average-downsample every shape's mask onto the cutout grid as two
+   overlap-matrix matmuls (MXU): out = Wy @ mask @ Wx.T / (Wy @ 1 @ Wx.T).
+
+The fine lattice is the res-snapped cover of the cutout extent, so results
+match the host path exactly on the shared lattice (same snapping rule as
+padded_transform_and_shape).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atlite_tpu.gis import geometry as G
+
+
+def shapes_to_edges(geoms, max_edges=None):
+    """Pack polygon edges into padded (S, E, 4) [x1 y1 x2 y2] + (S, E) mask.
+
+    Holes are included as additional edges — even-odd crossing counting
+    handles them without distinction.  MultiPolygons concatenate their
+    parts (even-odd stays correct because parts are disjoint).
+    """
+    all_edges = []
+    for geom in geoms:
+        geom = G.parse_geometry(geom)
+        polys = geom.polygons if isinstance(geom, G.MultiPolygon) else [geom]
+        e = []
+        for p in polys:
+            for ring in (p.shell, *p.holes):
+                nxt = np.roll(ring, -1, axis=0)
+                e.append(np.column_stack([ring, nxt]))
+        all_edges.append(np.concatenate(e, axis=0))
+    E = max(len(e) for e in all_edges) if max_edges is None else max_edges
+    S = len(all_edges)
+    edges = np.zeros((S, E, 4))
+    mask = np.zeros((S, E), dtype=bool)
+    for i, e in enumerate(all_edges):
+        edges[i, : len(e)] = e
+        mask[i, : len(e)] = True
+    return edges, mask
+
+
+@partial(jax.jit, static_argnames=("row_tile",))
+def rasterize_shapes(edges, edge_mask, px, py, row_tile=64):
+    """(S, ny, nx) bool: pixel-center-in-shape, batched over shapes.
+
+    edges: (S, E, 4); px: (nx,), py: (ny,) pixel-center coordinates.
+    Tiled over row blocks with lax.map so the (S, E, tile, nx) broadcast
+    stays in VMEM-sized chunks.
+    """
+    ny = py.shape[0]
+    pad = (-ny) % row_tile
+    py_pad = jnp.pad(py, (0, pad))
+    blocks = py_pad.reshape(-1, row_tile)
+
+    x1 = edges[..., 0][:, :, None, None]
+    y1 = edges[..., 1][:, :, None, None]
+    x2 = edges[..., 2][:, :, None, None]
+    y2 = edges[..., 3][:, :, None, None]
+    m = edge_mask[:, :, None, None]
+
+    def one_block(py_blk):
+        yb = py_blk[None, None, :, None]
+        xb = px[None, None, None, :]
+        cond = (y1 > yb) != (y2 > yb)
+        # y2 == y1 edges never satisfy cond; guard the division anyway
+        denom = jnp.where(y2 == y1, 1.0, y2 - y1)
+        xint = x1 + (yb - y1) / denom * (x2 - x1)
+        crossings = jnp.sum(cond & (xb < xint) & m, axis=1)  # (S, tile, nx)
+        return (crossings % 2).astype(jnp.bool_)
+
+    out = jax.lax.map(one_block, blocks)  # (nblk, S, tile, nx)
+    out = jnp.moveaxis(out, 0, 1).reshape(edges.shape[0], -1, px.shape[0])
+    return out[:, :ny]
+
+
+@jax.jit
+def average_downsample(masks, Wy, Wx):
+    """(S, NY, NX) average share from (S, ny, nx) bool masks via the
+    separable overlap matrices (two MXU matmuls per shape batch)."""
+    m = masks.astype(jnp.float32)
+    num = jnp.einsum("ab,sbc,dc->sad", Wy, m, Wx,
+                     preferred_element_type=jnp.float32)
+    den = (Wy.sum(axis=1)[:, None] * Wx.sum(axis=1)[None, :])[None]
+    return num / den
+
+
+def availability_matrix_device(cutout, shapes_geoms, excluder,
+                               shapes_crs=4326, row_tile=64):
+    """Full availability matrix on device; numerically equivalent to the
+    host path on the shared res-snapped lattice.  Returns (S, Y, X) numpy
+    (ascending y, like compute_availabilitymatrix)."""
+    from atlite_tpu.gis.crs import normalize_crs, transform_points
+    from atlite_tpu.gis.exclusion import _as_geometry_list
+    from atlite_tpu.gis.raster import (
+        binary_dilation, overlap_matrix, padded_transform_and_shape,
+        reproject_nearest,
+    )
+
+    if not excluder.all_open:
+        excluder.open_files()
+    crs = excluder.crs
+    res = excluder.res
+
+    # fine lattice covering the cutout extent, snapped to the res lattice
+    g = cutout.grid_desc
+    corners_x = np.array([g.extent[0], g.extent[0], g.extent[1], g.extent[1]])
+    corners_y = np.array([g.extent[2], g.extent[3], g.extent[2], g.extent[3]])
+    cx, cy = transform_points(corners_x, corners_y, cutout.crs, crs)
+    bounds = (cx.min(), cy.min(), cx.max(), cy.max())
+    transform, (ny, nx) = padded_transform_and_shape(bounds, res)
+    px = transform.c + transform.a * (np.arange(nx) + 0.5)
+    py = transform.f + transform.e * (np.arange(ny) + 0.5)  # descending
+
+    # host-side: exclusion mask on the fine lattice (raster gathers + codes)
+    exclusions = np.zeros((ny, nx), dtype=bool)
+    for d in excluder.rasters:
+        r = d["raster"]
+        masked_r = reproject_nearest(r, transform, crs, (ny, nx),
+                                     nodata=d["nodata"])
+        if d["codes"] is not None:
+            sel = (np.asarray(d["codes"](masked_r)).astype(bool)
+                   if callable(d["codes"]) else np.isin(masked_r, d["codes"]))
+        else:
+            sel = masked_r.astype(bool)
+        if d["invert"]:
+            sel = ~sel
+        if d["buffer"]:
+            sel = binary_dilation(sel, iterations=int(d["buffer"] / res) + 1)
+        exclusions |= sel
+    geom_exclusion_shapes = []
+    for d in excluder.geometries:
+        from atlite_tpu.gis.raster import geometry_mask
+
+        inside = geometry_mask(d["geometry"], (ny, nx), transform, invert=True)
+        if d["buffer"]:
+            inside = binary_dilation(inside, iterations=int(d["buffer"] / res) + 1)
+        exclusions |= (~inside) if d["invert"] else inside
+    del geom_exclusion_shapes
+
+    # device: batched rasterization of the query shapes
+    geoms = _as_geometry_list(shapes_geoms, shapes_crs, crs)
+    edges, emask = shapes_to_edges(geoms)
+    fine = rasterize_shapes(
+        jnp.asarray(edges, dtype=jnp.float64 if jax.config.x64_enabled else jnp.float32),
+        jnp.asarray(emask), jnp.asarray(px), jnp.asarray(py), row_tile=row_tile,
+    )
+    fine = fine & jnp.asarray(~exclusions)[None]
+
+    # device: overlap-matmul downsample onto the (top-down) cutout raster
+    tr = g.transform_r
+    Wx = overlap_matrix(transform.c, transform.a, nx, tr.c, tr.a, g.shape[1])
+    Wy = overlap_matrix(transform.f, transform.e, ny, tr.f, tr.e, g.shape[0])
+    # normalise by full dst-cell coverage: matches the host path's
+    # pad_extent-with-zeros + GDAL-average (partial fine coverage counts 0)
+    avail = average_downsample(fine, jnp.asarray(Wy, dtype=jnp.float32),
+                               jnp.asarray(Wx, dtype=jnp.float32))
+    return np.asarray(avail)[:, ::-1]  # flip to ascending y

@@ -62,6 +62,36 @@ def _grid_window(grid: Grid, bounds, pad=0):
     return i0, i1, j0, j1
 
 
+def _shape_window_areas(grid, geom):
+    """(window indices, (wy, wx) area array) of |geom ∩ cell| over the
+    geometry's grid window.  Uses the C++ engine when built (the
+    Sutherland–Hodgman per-cell loop is the indicator-matrix hot path),
+    numpy otherwise."""
+    from atlite_tpu import native
+
+    i0, i1, j0, j1 = _grid_window(grid, geom.bounds)
+    wx, wy = i1 - i0, j1 - j0
+    if wx <= 0 or wy <= 0:
+        return i0, j0, np.zeros((0, 0))
+    x0 = grid.x[i0] - grid.dx / 2
+    y0 = grid.y[j0] - grid.dy / 2
+    polys = geom.polygons if isinstance(geom, G.MultiPolygon) else [geom]
+    if native.get_lib() is not None:
+        areas = np.zeros((wy, wx))
+        for p in polys:
+            native.polygon_cell_areas(p, x0, grid.dx, wx, y0, grid.dy, wy,
+                                      out=areas)
+        return i0, j0, areas
+    areas = np.zeros((wy, wx))
+    for j in range(wy):
+        ylo = y0 + j * grid.dy
+        for i in range(wx):
+            xlo = x0 + i * grid.dx
+            areas[j, i] = G.polygon_box_area(geom, xlo, ylo, xlo + grid.dx,
+                                             ylo + grid.dy)
+    return i0, j0, areas
+
+
 def compute_indicatormatrix(grid, shapes, orig_crs=4326, dest_crs=4326):
     """I[i, j] = |shape_i ∩ cell_j| / |cell_j| (reference gis.py:104-145).
 
@@ -75,16 +105,11 @@ def compute_indicatormatrix(grid, shapes, orig_crs=4326, dest_crs=4326):
     for i, (_, geom) in enumerate(_iter_shapes(shapes)):
         if dest_crs != orig_crs:
             geom = G.transform_geometry(geom, dest_crs, orig_crs)
-        i0, i1, j0, j1 = _grid_window(grid, geom.bounds)
-        for j in range(j0, j1):
-            ylo, yhi = grid.y[j] - grid.dy / 2, grid.y[j] + grid.dy / 2
-            for ii in range(i0, i1):
-                xlo, xhi = grid.x[ii] - grid.dx / 2, grid.x[ii] + grid.dx / 2
-                a = G.polygon_box_area(geom, xlo, ylo, xhi, yhi)
-                if a > 0:
-                    rows.append(i)
-                    cols.append(j * nx + ii)
-                    vals.append(a / cell_area)
+        i0, j0, areas = _shape_window_areas(grid, geom)
+        jj, ii = np.nonzero(areas > 0)
+        rows.extend([i] * len(jj))
+        cols.extend(((jj + j0) * nx + (ii + i0)).tolist())
+        vals.extend((areas[jj, ii] / cell_area).tolist())
     n_shapes = len(list(shapes_index(shapes)))
     return sp.coo_matrix(
         (vals, (rows, cols)), shape=(n_shapes, ny * nx), dtype=float

@@ -125,9 +125,18 @@ def geometry_mask(geometries, shape, transform, invert=False):
     inside = np.zeros(rows * cols, dtype=bool)
     if isinstance(geometries, (G.Geometry,)) or hasattr(geometries, "__geo_interface__"):
         geometries = [geometries]
+    from atlite_tpu import native
+
+    use_native = native.get_lib() is not None
     for geom in geometries:
         geom = G.parse_geometry(geom)
-        inside |= G.points_in_polygon(geom, x, y)
+        if use_native:
+            polys = geom.polygons if isinstance(geom, G.MultiPolygon) else [geom]
+            for p in polys:
+                buf = native.points_in_polygon(p, x, y)
+                inside |= buf.astype(bool)
+        else:
+            inside |= G.points_in_polygon(geom, x, y)
     inside = inside.reshape(rows, cols)
     return inside if invert else ~inside
 

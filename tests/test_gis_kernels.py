@@ -1,0 +1,82 @@
+"""Device (TPU-path) GIS kernels vs the host reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from atlite_tpu import ExclusionContainer
+from atlite_tpu.gis.geometry import Polygon, box
+from atlite_tpu.gis.kernels import (
+    availability_matrix_device,
+    rasterize_shapes,
+    shapes_to_edges,
+)
+
+X0, Y0, X1, Y1 = -4.0, 56.0, 1.5, 61.0
+
+
+def test_rasterize_shapes_matches_host():
+    shapes = [
+        box(1.0, 1.0, 7.5, 6.5),
+        Polygon([(2, 2), (9, 3), (6, 9)]),
+        Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                [[(3, 3), (7, 3), (7, 7), (3, 7)]]),
+    ]
+    edges, mask = shapes_to_edges(shapes)
+    px = np.arange(0.25, 10, 0.5)
+    py = np.arange(9.75, 0, -0.5)  # descending like a raster
+    out = np.asarray(rasterize_shapes(jnp.asarray(edges), jnp.asarray(mask),
+                                      jnp.asarray(px), jnp.asarray(py),
+                                      row_tile=8))
+    from atlite_tpu.gis.geometry import points_in_polygon
+
+    XX, YY = np.meshgrid(px, py)
+    for i, s in enumerate(shapes):
+        ref = points_in_polygon(s, XX.ravel(), YY.ravel()).reshape(XX.shape)
+        np.testing.assert_array_equal(out[i], ref, err_msg=f"shape {i}")
+
+
+def test_availability_device_matches_host(cutout):
+    shapes = pd.Series([
+        box(X0 + 1, Y0 + 1, X1 - 1, Y0 / 2 + Y1 / 2),
+        box(X0 + 1, Y0 / 2 + Y1 / 2, X1 - 1, Y1 - 1),
+    ]).rename_axis("shape")
+
+    transform, shp = None, None
+    from atlite_tpu.gis.raster import Raster, padded_transform_and_shape
+    from atlite_tpu.core.grid import Affine
+
+    tr, (ny, nx) = padded_transform_and_shape((X0, Y0, X1, Y1), 0.01)
+    rng = np.random.default_rng(0)
+    raster = Raster((rng.random((ny, nx)) < 0.3).astype(np.int32), tr,
+                    crs=4326, nodata=255)
+
+    excluder = ExclusionContainer(4326, res=0.01)
+    excluder.add_raster(raster)
+    host = np.asarray(cutout.availabilitymatrix(shapes, excluder).values)
+
+    excluder2 = ExclusionContainer(4326, res=0.01)
+    excluder2.add_raster(raster)
+    dev = availability_matrix_device(cutout, list(shapes.values), excluder2)
+
+    assert dev.shape == host.shape
+    # same lattice, same semantics -> tight agreement
+    np.testing.assert_allclose(dev, host, atol=2e-2)
+    # aggregate shares agree closely
+    np.testing.assert_allclose(dev.sum(), host.sum(), rtol=1e-3)
+
+
+def test_availability_device_geometry_exclusion(cutout):
+    shapes = [box(X0, Y0, X1, Y1)]
+    exclude = [box(X0 / 2 + X1 / 2, Y0 / 2 + Y1 / 2, X1, Y1)]
+    excluder = ExclusionContainer(4326, res=0.01)
+    excluder.add_geometry(exclude)
+    dev = availability_matrix_device(cutout, shapes, excluder)
+    # availability excludes the NE quadrant
+    g = cutout.grid_desc
+    ne = (g.x[None, :] > (X0 + X1) / 2 + 0.2) & (g.y[:, None] > (Y0 + Y1) / 2 + 0.2)
+    inside = (g.x[None, :] > X0 + 0.2) & (g.x[None, :] < (X0 + X1) / 2 - 0.2) \
+        & (g.y[:, None] > Y0 + 0.2) & (g.y[:, None] < Y1 - 0.2)
+    assert np.all(dev[0][ne] < 1e-6)
+    assert np.all(dev[0][inside] > 0.99)
