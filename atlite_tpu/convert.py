@@ -425,11 +425,14 @@ def solar_thermal(cutout, orientation=None, trigon_model="simple",
 @partial(jax.jit, static_argnames=("to_height", "method"))
 def _wind_pipeline(fields, V, POW_norm, to_height, method):
     wnd_hub = wind_kernels.extrapolate_wind_speed(fields, to_height, method=method)
-    return jnp.interp(wnd_hub, V, POW_norm)
+    return wind_kernels.power_curve(wnd_hub, V, POW_norm, 1.0)
 
 
 def convert_wind(cutout, turbine, interpolation_method="logarithmic"):
     V, POW, hub_height, P = (turbine[k] for k in ("V", "POW", "hub_height", "P"))
+    # exact collinear-knot removal: identical results, fewer mask-and-sum
+    # segments on device (see physics.wind.simplify_power_curve)
+    V, POW = wind_kernels.simplify_power_curve(V, POW)
     fields = cutout.fields()
     out = _wind_pipeline(
         fields, jnp.asarray(V), jnp.asarray(POW) / P,

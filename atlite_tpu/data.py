@@ -1,0 +1,54 @@
+"""Preparation engine — module-level API (reference: atlite/data.py).
+
+The implementation lives on the Cutout (`Cutout.prepare`); these wrappers
+expose the reference's module-level functions with the same semantics:
+per-feature diff of available vs prepared variables, fetch only what is
+missing, atomic store rewrite (checkpoint/resume, data.py:133-274).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from atlite_tpu.datasets import modules as datamodules
+
+
+def available_features(module=None):
+    """(module, feature) -> variable Series (reference data.py:76-104)."""
+    features = {
+        name: mod.features for name, mod in datamodules.items()
+        if module is None or name in np.atleast_1d(module)
+    }
+    rows = [
+        (mname, feature, var)
+        for mname, feats in features.items()
+        for feature, variables in feats.items()
+        for var in variables
+    ]
+    idx = pd.MultiIndex.from_tuples(
+        [(m, f) for m, f, _ in rows], names=["module", "feature"]
+    )
+    return pd.Series([v for _, _, v in rows], idx, dtype=object)
+
+
+def get_features(cutout, module, features, tmpdir=None, **params):
+    """Load (but do not persist) the requested features from a module
+    (reference data.py:27-73).  Returns {var: (dims, array)}."""
+    mod = datamodules[module]
+    out = {}
+    for feature in features:
+        result = mod.get_data(cutout, feature, tmpdir=tmpdir,
+                              **{**cutout.attrs, **params})
+        for var, payload in result.items():
+            if var in mod.features[feature]:
+                out[var] = payload
+    return out
+
+
+def cutout_prepare(cutout, features=None, tmpdir=None, overwrite=False,
+                   **params):
+    """Prepare a cutout (reference data.py:133-274); delegates to
+    Cutout.prepare, which implements the same resume semantics."""
+    return cutout.prepare(features=features, tmpdir=tmpdir,
+                          overwrite=overwrite, **params)

@@ -104,6 +104,41 @@ class ExclusionContainer:
             )
         return shape_availability(geometry, self, geometry_crs)
 
+    def plot_shape_availability(self, geometry, ax=None, set_title=True,
+                                dst_transform=None, dst_crs=None,
+                                dst_shape=None, geometry_crs=4326,
+                                show_kwargs=None, plot_kwargs=None):
+        """Plot the eligible area for one or more geometries
+        (reference gis.py:585-658)."""
+        import matplotlib.pyplot as plt
+
+        masked, transform = self.compute_shape_availability(
+            geometry, dst_transform, dst_crs, dst_shape, geometry_crs
+        )
+        if ax is None:
+            ax = plt.gca()
+        rows, cols = masked.shape
+        x0, y0 = transform * (0, rows)
+        x1, y1 = transform * (cols, 0)
+        show_kwargs = {"cmap": "Greens", **(show_kwargs or {})}
+        ax.imshow(masked, extent=(x0, x1, y0, y1), origin="upper",
+                  **show_kwargs)
+        geoms = _as_geometry_list(geometry, geometry_crs, self.crs)
+        for g in geoms:
+            from atlite_tpu.gis import geometry as GG
+
+            polys = g.polygons if isinstance(g, GG.MultiPolygon) else [g]
+            for p in polys:
+                ring = np.vstack([p.shell, p.shell[:1]])
+                ax.plot(ring[:, 0], ring[:, 1],
+                        color=(plot_kwargs or {}).get("edgecolor", "k"))
+        if set_title:
+            share = masked.sum() * self.res**2 / sum(
+                gg.area for gg in geoms
+            )
+            ax.set_title(f"Eligible area (green) {share:.2%}")
+        return ax
+
     def __repr__(self):
         return (
             f"Exclusion Container"

@@ -1,0 +1,337 @@
+"""Minimal GeoTIFF reader — pure Python, no GDAL.
+
+Supports the raster flavors land-use/exclusion datasets actually ship as:
+single-band baseline TIFF, striped or tiled, uncompressed / Deflate / LZW /
+PackBits, little- or big-endian, integer and float sample types, with the
+GeoTIFF keys needed for georeferencing (ModelPixelScale + ModelTiepoint or
+ModelTransformation, and the EPSG code from GeoKeyDirectory).
+
+Reference counterpart: rasterio/GDAL windowed reads feeding the exclusion
+pipeline (/root/reference/atlite/gis.py:197-230, datasets/gebco.py:23-44).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from atlite_tpu.core.grid import Affine
+
+# TIFF tag ids
+_TAGS = {
+    256: "ImageWidth", 257: "ImageLength", 258: "BitsPerSample",
+    259: "Compression", 262: "Photometric", 273: "StripOffsets",
+    277: "SamplesPerPixel", 278: "RowsPerStrip", 279: "StripByteCounts",
+    317: "Predictor", 322: "TileWidth", 323: "TileLength",
+    324: "TileOffsets", 325: "TileByteCounts", 339: "SampleFormat",
+    33550: "ModelPixelScale", 33922: "ModelTiepoint",
+    34264: "ModelTransformation", 34735: "GeoKeyDirectory",
+    42113: "GDALNoData",
+}
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 13: 4}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 5: "II", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 13: "I"}
+
+
+def _sample_dtype(bits, fmt, endian):
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
+    return np.dtype(f"{endian}{kind}{bits // 8}")
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (MSB-first codes, EarlyChange)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table = None
+    code_size = 9
+    prev = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # EarlyChange: bump code size one entry early
+        if len(table) >= (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(raw, compression, decoded_size):
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):  # Deflate / legacy Deflate
+        return zlib.decompress(raw)
+    if compression == 5:
+        return _lzw_decode(raw)
+    if compression == 32773:
+        return _packbits_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _unpredict(arr, predictor):
+    if predictor == 2:  # horizontal differencing
+        np.cumsum(arr, axis=-1, out=arr, dtype=arr.dtype)
+    elif predictor == 3:  # floating-point byte-shuffle predictor
+        raise ValueError("TIFF floating-point predictor (3) not supported")
+    return arr
+
+
+def read_geotiff(path) -> "Raster":
+    """Read band 1 of a GeoTIFF into a gis.raster.Raster."""
+    from atlite_tpu.gis.raster import Raster
+
+    data = Path(path).read_bytes()
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, = struct.unpack(endian + "H", data[2:4])
+    if magic == 43:
+        raise ValueError("BigTIFF not supported")
+    if magic != 42:
+        raise ValueError("not a TIFF file")
+    ifd_off, = struct.unpack(endian + "I", data[4:8])
+
+    tags = {}
+    n_entries, = struct.unpack(endian + "H", data[ifd_off:ifd_off + 2])
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            payload = data[e + 8:e + 8 + size]
+        else:
+            off, = struct.unpack(endian + "I", data[e + 8:e + 12])
+            payload = data[off:off + size]
+        name = _TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 2:  # ASCII
+            tags[name] = payload.rstrip(b"\x00").decode("latin1")
+        elif typ in _TYPE_FMT:
+            fmt = _TYPE_FMT[typ]
+            if typ == 5:  # RATIONAL
+                vals = struct.unpack(endian + "II" * count, payload)
+                tags[name] = [vals[2 * k] / vals[2 * k + 1] for k in range(count)]
+            else:
+                tags[name] = list(struct.unpack(endian + fmt * count, payload))
+        else:
+            tags[name] = payload
+
+    width = tags["ImageWidth"][0]
+    height = tags["ImageLength"][0]
+    spp = tags.get("SamplesPerPixel", [1])[0]
+    if spp != 1:
+        raise ValueError("only single-band GeoTIFFs supported")
+    bits = tags.get("BitsPerSample", [8])[0]
+    fmt = tags.get("SampleFormat", [1])[0]
+    compression = tags.get("Compression", [1])[0]
+    predictor = tags.get("Predictor", [1])[0]
+    dtype = _sample_dtype(bits, fmt, endian)
+    bpp = bits // 8
+
+    out = np.zeros((height, width), dtype=dtype)
+    if "TileOffsets" in tags:
+        tw, th = tags["TileWidth"][0], tags["TileLength"][0]
+        offs = tags["TileOffsets"]
+        cnts = tags["TileByteCounts"]
+        tiles_across = -(-width // tw)
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress(data[o:o + c], compression, tw * th * bpp)
+            tile = np.frombuffer(raw, dtype=dtype, count=tw * th).reshape(th, tw)
+            tile = _unpredict(tile.copy(), predictor)
+            r0 = (ti // tiles_across) * th
+            c0 = (ti % tiles_across) * tw
+            out[r0:r0 + th, c0:c0 + tw] = tile[: height - r0, : width - c0]
+    else:
+        rps = tags.get("RowsPerStrip", [height])[0]
+        offs = tags["StripOffsets"]
+        cnts = tags["StripByteCounts"]
+        row = 0
+        for o, c in zip(offs, cnts):
+            nrows = min(rps, height - row)
+            raw = _decompress(data[o:o + c], compression, nrows * width * bpp)
+            strip = np.frombuffer(raw, dtype=dtype,
+                                  count=nrows * width).reshape(nrows, width)
+            strip = _unpredict(strip.copy(), predictor)
+            out[row:row + nrows] = strip
+            row += nrows
+
+    # georeferencing
+    if "ModelTransformation" in tags:
+        m = tags["ModelTransformation"]
+        transform = Affine(m[0], m[1], m[3], m[4], m[5], m[7])
+    elif "ModelPixelScale" in tags and "ModelTiepoint" in tags:
+        sx, sy = tags["ModelPixelScale"][:2]
+        tp = tags["ModelTiepoint"]
+        # tiepoint: raster (i, j, k) -> model (x, y, z)
+        i, j, _, x, y, _ = tp[:6]
+        transform = Affine(sx, 0, x - i * sx, 0, -sy, y + j * sy)
+    else:
+        transform = Affine(1, 0, 0, 0, -1, height)
+
+    crs = 4326
+    if "GeoKeyDirectory" in tags:
+        gk = tags["GeoKeyDirectory"]
+        keys = {gk[4 + 4 * k]: gk[7 + 4 * k] for k in range((len(gk) - 4) // 4)}
+        # 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicTypeGeoKey
+        crs = keys.get(3072) or keys.get(2048) or 4326
+
+    nodata = None
+    if "GDALNoData" in tags:
+        try:
+            nodata = float(tags["GDALNoData"])
+        except ValueError:
+            nodata = None
+
+    return Raster(out, transform, crs=crs, nodata=255 if nodata is None else nodata)
+
+
+def write_geotiff(raster, path, compression="deflate"):
+    """Write a single-band GeoTIFF (striped, Deflate or uncompressed)."""
+    from atlite_tpu.gis.crs import normalize_crs
+
+    arr = np.ascontiguousarray(raster.data)
+    if arr.ndim != 2:
+        raise ValueError("single-band rasters only")
+    height, width = arr.shape
+    dt = arr.dtype
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    payload = arr.astype(dt.newbyteorder("<")).tobytes()
+    if compression == "deflate":
+        comp_code = 8
+        payload = zlib.compress(payload, 6)
+    elif compression in (None, "none"):
+        comp_code = 1
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
+
+    t = raster.transform
+    crs = normalize_crs(raster.crs)
+    epsg = crs if isinstance(crs, int) else 4326
+    # GeoKeyDirectory: version, rev, minor, nkeys, then (key, loc, cnt, val)
+    is_geographic = epsg == 4326 or 4000 <= epsg < 5000
+    geokeys = [1, 1, 0, 3,
+               1024, 0, 1, 2 if is_geographic else 1,   # GTModelType
+               1025, 0, 1, 1,                            # RasterPixelIsArea
+               (2048 if is_geographic else 3072), 0, 1, epsg]
+
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 3, 1, [width]))
+    entries.append((257, 3, 1, [height]))
+    entries.append((258, 3, 1, [bits]))
+    entries.append((259, 3, 1, [comp_code]))
+    entries.append((262, 3, 1, [1]))
+    entries.append((277, 3, 1, [1]))
+    entries.append((278, 3, 1, [height]))  # one strip
+    entries.append((279, 4, 1, [len(payload)]))
+    entries.append((339, 3, 1, [fmt]))
+    entries.append((33550, 12, 3, [abs(t.a), abs(t.e), 0.0]))
+    entries.append((33922, 12, 6, [0.0, 0.0, 0.0, t.c, t.f, 0.0]))
+    entries.append((34735, 3, len(geokeys), geokeys))
+    if raster.nodata is not None:
+        nod = (f"{raster.nodata:.10g}").encode() + b"\x00"
+        entries.append((42113, 2, len(nod), nod))
+    entries.append((273, 4, 1, None))  # StripOffsets patched below
+
+    entries.sort(key=lambda e: e[0])
+    header_size = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # out-of-line data area after the IFD
+    extra = bytearray()
+    extra_base = header_size + ifd_size
+
+    def encode_values(typ, values):
+        if typ == 2:
+            return bytes(values)
+        fmt_c = {3: "H", 4: "I", 12: "d"}[typ]
+        return struct.pack("<" + fmt_c * len(values), *values)
+
+    strip_offset_pos = None
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, values in entries:
+        if values is None:  # StripOffsets placeholder
+            ifd += struct.pack("<HHI", tag, typ, count)
+            strip_offset_pos = len(ifd) + 8  # patched later
+            ifd += struct.pack("<I", 0)
+            continue
+        enc = encode_values(typ, values)
+        ifd += struct.pack("<HHI", tag, typ, count)
+        if len(enc) <= 4:
+            ifd += enc + b"\x00" * (4 - len(enc))
+        else:
+            ifd += struct.pack("<I", extra_base + len(extra))
+            extra += enc
+            if len(extra) % 2:
+                extra += b"\x00"
+    ifd += struct.pack("<I", 0)  # next IFD
+
+    data_offset = extra_base + len(extra)
+    # patch StripOffsets value
+    ifd = bytearray(ifd)
+    # find the StripOffsets entry again to patch its value field
+    pos = 2
+    for tag, typ, count, values in entries:
+        if values is None:
+            struct.pack_into("<I", ifd, pos + 8, data_offset)
+        pos += 12
+
+    header = b"II" + struct.pack("<HI", 42, header_size)
+    Path(path).write_bytes(header + bytes(ifd) + bytes(extra) + payload)

@@ -69,9 +69,13 @@ class Raster:
             nodata = float(z["nodata"]) if "nodata" in z else 255
             return cls(z["data"], Affine(*np.asarray(z["transform"]).ravel()[:6]),
                        crs, nodata)
+        if path.suffix.lower() in (".tif", ".tiff", ".gtiff"):
+            from atlite_tpu.gis.geotiff import read_geotiff
+
+            return read_geotiff(path)
         raise ValueError(
-            f"unsupported raster format {path.suffix!r}; use .npz with "
-            "data/transform/crs/nodata entries"
+            f"unsupported raster format {path.suffix!r}; use GeoTIFF or "
+            ".npz with data/transform/crs/nodata entries"
         )
 
     def save(self, path):

@@ -51,6 +51,9 @@ def build_inputs(T, Y, X, B, seed=3):
     V = np.arange(0.0, 26.0, 0.5, dtype=np.float32)
     POWn = np.clip((V**3 - 27.0) / (12.0**3 - 27.0), 0, 1).astype(np.float32)
     POWn[V >= 25.0] = 0.0
+    from atlite_tpu.physics.wind import simplify_power_curve
+
+    V, POWn = (a.astype(np.float32) for a in simplify_power_curve(V, POWn))
     return fields, eph, x.astype(np.float32), y.astype(np.float32), V, POWn, matrix
 
 
@@ -91,42 +94,62 @@ def main():
     import __graft_entry__ as ge
 
     step = ge._step_fn()
-    fields = {k: jax.device_put(v) for k, v in fields_np.items()}
-    eph = {k: jax.device_put(v) for k, v in eph_np.items()}
-    args = (fields, eph, jax.device_put(lon), jax.device_put(lat),
+
+    # Timing strategy (the axon relay makes block_until_ready unreliable, so
+    # everything is measured inside one jit with a single host readback):
+    # - the step streams over K REAL time chunks with an inner lax.scan
+    #   (production streaming shape; chunks hold different data, so nothing
+    #   is loop-invariant),
+    # - an outer scan repeats the full pass n times, with the carry
+    #   perturbing only the SMALL parameters (power curve, latitudes) —
+    #   enough data-dependence to prevent hoisting without adding memory
+    #   traffic,
+    # - two run lengths are differenced to cancel dispatch/RTT overheads.
+    K = 8
+    Tc = T // K
+    T = K * Tc
+    scanned = {k: jax.device_put(v[:T].reshape(K, Tc, Y, X))
+               for k, v in fields_np.items() if v.ndim == 3}
+    static = {k: jax.device_put(v) for k, v in fields_np.items() if v.ndim == 2}
+    eph_c = {k: jax.device_put(v[:T].reshape(K, Tc)) for k, v in eph_np.items()}
+    args = (scanned, static, eph_c, jax.device_put(lon), jax.device_put(lat),
             jax.device_put(V), jax.device_put(POWn), jax.device_put(matrix))
 
-    # Time K chained executions inside ONE jit and difference two run
-    # lengths: async-dispatch quirks and host<->device round-trip latency
-    # cancel out, leaving pure device time per step.  The carry feeds an
-    # un-foldable perturbation into the next step so XLA cannot CSE the
-    # iterations away.
     def chained(n):
         @jax.jit
-        def run(fields, eph, lon, lat, V, POWn, matrix):
-            def body(carry, _):
-                f = dict(fields)
-                f["temperature"] = f["temperature"] + carry * 1e-30
-                wb, pb = step(f, eph, lon, lat, V, POWn, matrix)
-                return jnp.sum(wb) + jnp.sum(pb), None
-            out, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+        def run(scanned, static, eph_c, lon, lat, V, POWn, matrix):
+            def pass_body(carry, _):
+                Vp = V + carry * 1e-30
+                latp = lat + carry * 1e-30
+
+                def chunk_body(c2, chunk):
+                    sc, eph = chunk
+                    wb, pb = step({**sc, **static}, eph, lon, latp, Vp,
+                                  POWn, matrix)
+                    return c2 + jnp.sum(wb) + jnp.sum(pb), None
+
+                out, _ = lax.scan(chunk_body, jnp.float32(0.0),
+                                  (scanned, eph_c))
+                return carry + out * 1e-30, None
+
+            out, _ = lax.scan(pass_body, jnp.float32(0.0), None, length=n)
             return out
         return run
 
-    k1, k2 = 2, 12
-    run1, run2 = chained(k1), chained(k2)
-    float(run1(*args))  # compile + warm
-    float(run2(*args))
+    n1, n2 = 1, 5
+    run1, run2 = chained(n1), chained(n2)
 
     def timed(run):
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(*args))  # host readback forces full sync
+            float(run(*args))  # single host readback forces full sync
             best = min(best, time.perf_counter() - t0)
         return best
 
-    device_secs = (timed(run2) - timed(run1)) / (k2 - k1)
+    float(run1(*args))
+    float(run2(*args))
+    device_secs = (timed(run2) - timed(run1)) / (n2 - n1)
 
     cell_hours = T * Y * X
     throughput = cell_hours / device_secs

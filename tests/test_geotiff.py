@@ -1,0 +1,84 @@
+"""GeoTIFF reader/writer roundtrip and decoder paths."""
+
+import numpy as np
+import pytest
+
+from atlite_tpu.core.grid import Affine
+from atlite_tpu.gis.geotiff import read_geotiff, write_geotiff, _lzw_decode, _packbits_decode
+from atlite_tpu.gis.raster import Raster
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.uint16, np.int32,
+                                   np.float32, np.float64])
+@pytest.mark.parametrize("compression", ["deflate", "none"])
+def test_roundtrip(tmp_path, dtype, compression):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        data = rng.random((37, 53)).astype(dtype)
+    else:
+        data = rng.integers(0, 100, (37, 53)).astype(dtype)
+    r = Raster(data, Affine(0.01, 0, -4.2, 0, -0.01, 62.2), crs=3035, nodata=255)
+    path = tmp_path / "t.tif"
+    write_geotiff(r, path, compression=compression)
+    r2 = read_geotiff(path)
+    np.testing.assert_array_equal(r2.data, data)
+    assert r2.crs == 3035
+    np.testing.assert_allclose(tuple(r2.transform), tuple(r.transform), atol=1e-12)
+    assert r2.nodata == 255
+
+
+def test_raster_open_dispatches(tmp_path):
+    data = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    r = Raster(data, Affine(1, 0, 0, 0, -1, 3), crs=4326, nodata=255)
+    path = tmp_path / "x.tif"
+    write_geotiff(r, path)
+    r2 = Raster.open(path)
+    np.testing.assert_array_equal(r2.data, data)
+
+
+def test_exclusion_with_geotiff(tmp_path, cutout):
+    """GeoTIFF raster drives an exclusion analysis end-to-end."""
+    from atlite_tpu import ExclusionContainer
+    from atlite_tpu.gis.exclusion import shape_availability
+    from atlite_tpu.gis.geometry import box
+    from atlite_tpu.gis.raster import padded_transform_and_shape
+
+    transform, shape = padded_transform_and_shape((-4, 56, 1.5, 61), 0.01)
+    rng = np.random.default_rng(0)
+    mask = (rng.random(shape) < 0.25).astype(np.uint8)
+    path = tmp_path / "excl.tif"
+    write_geotiff(Raster(mask, transform, 4326, nodata=255), path)
+
+    excluder = ExclusionContainer(4326, res=0.01)
+    excluder.add_raster(path)
+    masked, _ = shape_availability([box(-4, 56, 1.5, 61)], excluder,
+                                   geometry_crs=4326)
+    assert round(masked.sum() / masked.size, 2) == 0.75
+
+
+def test_packbits_decode():
+    # 3 literal bytes, then run of 4 x 0xAA
+    encoded = bytes([2, 1, 2, 3, 253, 0xAA])
+    assert _packbits_decode(encoded) == bytes([1, 2, 3]) + b"\xaa" * 4
+
+
+def test_lzw_roundtrip_known():
+    # decode a stream produced by a known-good encoder is hard to craft by
+    # hand; instead verify CLEAR-code handling on a trivial stream:
+    # 9-bit codes: CLEAR(256), 'A'(65), 'B'(66), EOI(257)
+    def pack_codes(codes, bits=9):
+        buf = 0
+        nbits = 0
+        out = bytearray()
+        for c in codes:
+            buf = (buf << bits) | c
+            nbits += bits
+            while nbits >= 8:
+                out.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    data = pack_codes([256, 65, 66, 257])
+    assert _lzw_decode(data) == b"AB"
