@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -80,6 +81,96 @@ def pad_to_multiple(arr, axis, multiple):
     return np.pad(arr, widths), size
 
 
+def halo_exchange(block, halo, axis_name="x"):
+    """Exchange ``halo`` columns with ring neighbors along a mesh axis.
+
+    ``block`` is the local shard (..., X_local) inside shard_map; returns
+    (..., X_local + 2*halo) with neighbor columns appended (edge-replicated
+    at the domain boundary).  This is the distributed analog of the
+    reference's serial ``pad_extent`` (gis.py:233-260): stencils (regrid,
+    rasterize) read past their shard boundary by the interpolation support.
+
+    Uses ``ppermute`` — XLA lowers it to neighbor ICI transfers.
+    """
+    import jax.numpy as jnp
+
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    right_edge = block[..., -halo:]
+    left_edge = block[..., :halo]
+    # send right edge to the right neighbor (they receive from their left)
+    from_left = jax.lax.ppermute(right_edge, axis_name,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    from_right = jax.lax.ppermute(left_edge, axis_name,
+                                  [(i, (i - 1) % n) for i in range(n)])
+    # replicate edges at the global domain boundary instead of wrapping
+    from_left = jnp.where(idx == 0, jnp.repeat(block[..., :1], halo, -1), from_left)
+    from_right = jnp.where(idx == n - 1, jnp.repeat(block[..., -1:], halo, -1),
+                           from_right)
+    return jnp.concatenate([from_left, block, from_right], axis=-1)
+
+
+def sharded_regrid_bilinear(mesh, src_x, src_y, dst_x, dst_y, halo=None):
+    """Build a jitted (T, Y, X)->(T, DY, DX) bilinear regrid over the
+    ("t", "x") mesh with x domain decomposition + halo exchange.
+
+    src/dst grids must be uniform and ascending; X and DX must divide the
+    mesh's x axis.  The y interpolation stays local (y unsharded); the x
+    interpolation reads up to ``halo`` columns past the shard boundary,
+    provided by :func:`halo_exchange` (ICI neighbor transfer), overlapped
+    by XLA with the local compute.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    nx_shards = mesh.shape["x"]
+    X, DX = len(src_x), len(dst_x)
+    assert X % nx_shards == 0 and DX % nx_shards == 0
+    x_local = X // nx_shards
+    dx_local = DX // nx_shards
+
+    # fractional source index of every dst column/row (edge-clamped like
+    # the serial regrid's mode='edge' padding)
+    fx = np.interp(np.asarray(dst_x), np.asarray(src_x), np.arange(X))
+    fy = np.interp(np.asarray(dst_y), np.asarray(src_y), np.arange(len(src_y)))
+    if halo is None:
+        ratio = (src_x[1] - src_x[0]) and (dst_x[1] - dst_x[0]) / (src_x[1] - src_x[0])
+        halo = int(np.ceil(abs(ratio))) + 2
+    halo = min(halo, x_local)
+
+    fx = jnp.asarray(fx)
+    fy_arr = jnp.asarray(fy)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("t", None, "x"),),
+        out_specs=P("t", None, "x"),
+        check_vma=False,
+    )
+    def _regrid(block):
+        xi = jax.lax.axis_index("x")
+        padded = halo_exchange(block, halo, "x")  # (t, Y, x_local + 2h)
+
+        # y interpolation (local)
+        y0 = jnp.clip(jnp.floor(fy_arr).astype(jnp.int32), 0, block.shape[1] - 2)
+        wy = jnp.clip(fy_arr - y0, 0.0, 1.0)
+        gy = (padded[:, y0, :] * (1 - wy)[None, :, None]
+              + padded[:, y0 + 1, :] * wy[None, :, None])
+
+        # x interpolation against the halo-padded local columns
+        dst_lo = xi * dx_local
+        fx_loc = jax.lax.dynamic_slice(fx, (dst_lo,), (dx_local,))
+        rel = fx_loc - (xi * x_local) + halo
+        x0 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0,
+                      x_local + 2 * halo - 2)
+        wx = jnp.clip(rel - x0, 0.0, 1.0)
+        out = (gy[:, :, x0] * (1 - wx)[None, None, :]
+               + gy[:, :, x0 + 1] * wx[None, None, :])
+        return out
+
+    return jax.jit(_regrid)
+
+
 def sharded_aggregate(mesh, matrix_dense):
     """Return a jitted (T,Y,X)->(T,B) bus aggregation for a dense matrix.
 
@@ -94,7 +185,8 @@ def sharded_aggregate(mesh, matrix_dense):
     def agg(field_tyx, matrix):
         T = field_tyx.shape[0]
         flat = field_tyx.reshape(T, -1)
-        return flat @ matrix.T
+        return jnp.dot(flat, matrix.T,
+                       precision=jax.lax.Precision.HIGHEST)
 
     matrix_dev = jax.device_put(matrix_dense, m_sharding)
     return lambda field: agg(field, matrix_dev)

@@ -1,0 +1,62 @@
+"""Block-sparse aggregation (BSR spmm) — scan and Pallas paths."""
+
+import jax.experimental.pallas as pl
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from atlite_tpu.ops import bsr_spmm as bs
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(0)
+    B, C, T = 37, 3000, 100
+    m = sp.random(B, C, density=0.02, random_state=1, format="csr")
+    flat = rng.random((T, C)).astype(np.float32)
+    expected = flat @ m.toarray().T.astype(np.float32)
+    return m, flat, expected
+
+
+def test_to_bsr_reconstructs(case):
+    m, _, _ = case
+    bsr = bs.to_bsr(m, block_b=8, block_c=256)
+    dense = np.zeros((bsr["B_pad"], bsr["C_pad"]), dtype=np.float32)
+    for rb, cb, blk in zip(bsr["row_blk"], bsr["col_blk"], bsr["blocks"]):
+        dense[rb * 8:(rb + 1) * 8, cb * 256:(cb + 1) * 256] += blk
+    np.testing.assert_allclose(dense[: m.shape[0], : m.shape[1]],
+                               m.toarray(), atol=1e-7)
+
+
+def test_bsr_scan_matches_dense(case):
+    m, flat, expected = case
+    bsr = bs.to_bsr(m, block_b=8, block_c=512)
+    out = np.asarray(bs.bsr_spmm(bsr, flat))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_pallas_interpret_matches_dense(case, monkeypatch):
+    m, flat, expected = case
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(bs.pl if hasattr(bs, "pl") else pl, "pallas_call", interp)
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    bsr = bs.to_bsr(m, block_b=8, block_c=512)
+    out = np.asarray(bs.bsr_spmm_pallas(bsr, flat, time_tile=64))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_empty_rows():
+    # regions with no cells must yield zero rows
+    m = sp.csr_matrix((3, 1000))
+    m[1, 5] = 2.0
+    flat = np.ones((10, 1000), dtype=np.float32)
+    bsr = bs.to_bsr(m.tocsr())
+    out = np.asarray(bs.bsr_spmm(bsr, flat))
+    assert out.shape == (10, 3)
+    np.testing.assert_allclose(out[:, 0], 0)
+    np.testing.assert_allclose(out[:, 1], 2.0)
