@@ -17,6 +17,7 @@ diff-and-resume semantics as the reference's prepared_features tracking.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -59,9 +60,14 @@ def write_store(path, grid, data, attrs, var_attrs):
                 for name, arr in data.items()
             },
         }
-        (tmp / MANIFEST).write_text(json.dumps(manifest, indent=1))
         for name, arr in data.items():
-            np.save(tmp / f"{_sanitize_var(name)}.npy", np.asarray(arr))
+            fn = tmp / f"{_sanitize_var(name)}.npy"
+            np.save(fn, np.asarray(arr))
+            # integrity checksum for failure detection on reload
+            manifest["variables"][name]["sha256"] = hashlib.sha256(
+                fn.read_bytes()
+            ).hexdigest()
+        (tmp / MANIFEST).write_text(json.dumps(manifest, indent=1))
         if path.exists():
             old = Path(str(path) + ".old")
             os.replace(path, old)
@@ -74,16 +80,28 @@ def write_store(path, grid, data, attrs, var_attrs):
         raise
 
 
-def read_store(path, mmap=True):
-    """Load a cutout directory; arrays are memory-mapped by default."""
+def read_store(path, mmap=True, verify=False):
+    """Load a cutout directory; arrays are memory-mapped by default.
+
+    verify=True checks each array file against the manifest's sha256
+    (failure detection for partially written / corrupted stores)."""
     path = Path(path)
     manifest = json.loads((path / MANIFEST).read_text())
     data, var_attrs = {}, {}
     for name, meta in manifest["variables"].items():
-        arr = np.load(path / f"{_sanitize_var(name)}.npy",
-                      mmap_mode="r" if mmap else None)
+        fn = path / f"{_sanitize_var(name)}.npy"
+        if verify and "sha256" in meta:
+            digest = hashlib.sha256(fn.read_bytes()).hexdigest()
+            if digest != meta["sha256"]:
+                raise IOError(
+                    f"checksum mismatch for variable {name!r} in {path} — "
+                    "store is corrupted or was written by an interrupted "
+                    "process"
+                )
+        arr = np.load(fn, mmap_mode="r" if mmap else None)
         data[name] = arr
-        var_attrs[name] = {k: v for k, v in meta.items() if k != "dtype"}
+        var_attrs[name] = {k: v for k, v in meta.items()
+                           if k not in ("dtype", "sha256")}
     coords = manifest["coords"]
     grid_kwargs = dict(
         x=np.asarray(coords["x"], dtype=float),

@@ -117,3 +117,22 @@ def test_merge(cutout):
 def test_missing_params_raise():
     with pytest.raises(TypeError):
         Cutout(path=None, module="synthetic")
+
+
+def test_odd_resolution(cutout_coarse):
+    """dx != dy and non-0.25 steps (reference conftest.py:98-107)."""
+    c = cutout_coarse
+    assert c.dx == 0.5 and c.dy == 0.7
+    assert np.all(np.isclose(np.diff(c.grid_desc.x), 0.5))
+    assert np.all(np.isclose(np.diff(c.grid_desc.y), 0.7))
+    # conversion works on odd grids
+    cf = c.wind("Vestas_V112_3MW", aggregate_time=None)
+    assert cf.values.shape == (24,) + c.shape
+
+
+def test_weird_resolution_offsets():
+    c = Cutout(path=None, module="synthetic", time=TIME,
+               bounds=(-4.123, 56.234, 1.433, 61.876), dx=0.23, dy=0.31)
+    # lattice anchored at the global origin (reference gis.py:63-75)
+    assert np.all(c.grid_desc.x >= -4.123) and np.all(c.grid_desc.x <= 1.433)
+    assert len(c.grid_desc.x) > 0 and len(c.grid_desc.y) > 0

@@ -1,0 +1,49 @@
+"""Store robustness: atomic rewrite, checksums, resume."""
+
+import numpy as np
+import pytest
+
+from atlite_tpu import Cutout
+from atlite_tpu.core.store import read_store
+
+
+def test_checksum_verification(tmp_path):
+    c = Cutout(path=None, module="synthetic", x=slice(-2, 0), y=slice(50, 52),
+               time="2013-01-01")
+    c.prepare(features=["wind"])
+    path = tmp_path / "c.atc"
+    c.to_file(path)
+
+    # clean read with verification
+    read_store(path, verify=True)
+
+    # corrupt one array -> verification must fail
+    target = next(path.glob("wnd100m.npy"))
+    raw = bytearray(target.read_bytes())
+    raw[-100] ^= 0xFF
+    target.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        read_store(path, verify=True)
+
+
+def test_atomic_rewrite_preserves_on_second_write(tmp_path):
+    c = Cutout(path=tmp_path / "c2", module="synthetic", x=slice(-2, 0),
+               y=slice(50, 52), time="2013-01-01")
+    c.prepare(features=["wind"])     # writes store
+    c.prepare(features=["influx"])   # rewrites store with more vars
+    c2 = Cutout(path=tmp_path / "c2")
+    assert "wnd100m" in c2.data and "influx_toa" in c2.data
+    read_store(c2.path, verify=True)
+
+
+def test_partial_prepare_resume(tmp_path):
+    c = Cutout(path=tmp_path / "c3", module="synthetic", x=slice(-2, 0),
+               y=slice(50, 52), time="2013-01-01")
+    c.prepare(features=["wind"])
+    # reopen: wind present, influx missing
+    c2 = Cutout(path=tmp_path / "c3")
+    assert not c2.prepared
+    feats = set(c2.prepared_features.index.get_level_values("feature"))
+    assert feats == {"wind"}
+    c2.prepare()  # fetches the rest only
+    assert c2.prepared
