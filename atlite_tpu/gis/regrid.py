@@ -31,10 +31,22 @@ class Resampling:
     average = "average"
     bilinear = "bilinear"
     nearest = "nearest"
+    cubic = "cubic"
 
 
 # rasterio.enums.Resampling integer codes used by reference callers
-_RESAMPLING_CODES = {0: "nearest", 1: "bilinear", 5: "average"}
+_RESAMPLING_CODES = {0: "nearest", 1: "bilinear", 2: "cubic", 5: "average"}
+
+
+def _cubic_weights(frac):
+    """Keys cubic-convolution weights, a=-0.5 (GDAL 'cubic')."""
+    a = -0.5
+    t = frac
+    w0 = a * (t + 1) ** 3 - 5 * a * (t + 1) ** 2 + 8 * a * (t + 1) - 4 * a
+    w1 = (a + 2) * t**3 - (a + 3) * t**2 + 1
+    w2 = (a + 2) * (1 - t) ** 3 - (a + 3) * (1 - t) ** 2 + 1
+    w3 = a * (2 - t) ** 3 - 5 * a * (2 - t) ** 2 + 8 * a * (2 - t) - 4 * a
+    return np.stack([w0, w1, w2, w3])
 
 
 def _as_transform(x, y):
@@ -71,6 +83,22 @@ def regrid(da, dimx, dimy, resampling="bilinear", src_crs=4326, dst_crs=4326):
             )
             for plane in flat
         ])
+    elif resampling == "cubic":
+        xq2, yq2 = np.meshgrid(dimx.values, dimy.values)
+        xs, ys = transform_points(xq2.ravel(), yq2.ravel(), dst_crs, src_crs)
+        fx = np.interp(xs, src_x, np.arange(len(src_x)))
+        fy = np.interp(ys, src_y, np.arange(len(src_y)))
+        x0 = np.floor(fx).astype(int)
+        y0 = np.floor(fy).astype(int)
+        wx = _cubic_weights(np.clip(fx - x0, 0.0, 1.0))  # (4, P)
+        wy = _cubic_weights(np.clip(fy - y0, 0.0, 1.0))
+        out = np.zeros((flat.shape[0], fx.size))
+        for dy in range(4):
+            iy = np.clip(y0 + dy - 1, 0, len(src_y) - 1)
+            for dx_ in range(4):
+                ix = np.clip(x0 + dx_ - 1, 0, len(src_x) - 1)
+                out += flat[:, iy, ix] * (wy[dy] * wx[dx_])[None, :]
+        out = out.reshape((flat.shape[0],) + dst_shape)
     elif resampling in ("bilinear", "nearest"):
         # destination centers in source fractional index space, edge-clamped
         xq2, yq2 = np.meshgrid(dimx.values, dimy.values)
