@@ -320,8 +320,13 @@ class Cutout:
         iy = np.searchsorted(y_grid, data.y.values, side="left")
         ix = np.clip(ix, 0, len(x_grid) - 1)
         iy = np.clip(iy, 0, len(y_grid) - 1)
-        ix = ix - (data.x.values - x_grid[ix - 1] < x_grid[ix] - data.x.values)
-        iy = iy - (data.y.values - y_grid[iy - 1] < y_grid[iy] - data.y.values)
+        # snap to the nearer neighbor; NOTE the reference (cutout.py:647-648)
+        # wraps points at exactly the first grid coordinate to the LAST cell
+        # via x_grid[ix-1] with ix == 0 — fixed here by guarding ix > 0
+        ix = ix - ((ix > 0) & (data.x.values - x_grid[ix - 1]
+                               < x_grid[ix] - data.x.values))
+        iy = iy - ((iy > 0) & (data.y.values - y_grid[iy - 1]
+                               < y_grid[iy] - data.y.values))
         layout = np.zeros(self.shape)
         np.add.at(layout, (iy, ix), data[col].values)
         return DataArray(layout, coords={"y": g.y, "x": g.x}, dims=("y", "x"))

@@ -257,6 +257,33 @@ class DataArray:
     def __lt__(self, o):
         return self._binop(o, np.less)
 
+    # -- plotting --------------------------------------------------------------
+    def plot(self, ax=None, **kwargs):
+        """Quick matplotlib plot: pcolormesh for 2-D (e.g. (y, x) fields),
+        line plot for 1-D series."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        v = np.asarray(self.values)
+        if self.ndim == 2:
+            d0, d1 = self.dims
+            x = np.asarray(self.coords[d1]) if d1 in self.coords else np.arange(v.shape[1])
+            y = np.asarray(self.coords[d0]) if d0 in self.coords else np.arange(v.shape[0])
+            m = ax.pcolormesh(x, y, v, **kwargs)
+            ax.set_xlabel(d1)
+            ax.set_ylabel(d0)
+            plt.colorbar(m, ax=ax, label=self.attrs.get("units"))
+            return m
+        if self.ndim == 1:
+            d0 = self.dims[0]
+            x = np.asarray(self.coords[d0]) if d0 in self.coords else np.arange(len(v))
+            line, = ax.plot(x, v, **kwargs)
+            ax.set_xlabel(d0)
+            ax.set_ylabel(self.attrs.get("units", self.name or ""))
+            return line
+        raise ValueError("plot supports only 1-D/2-D arrays; use isel/sel first")
+
     # -- export ---------------------------------------------------------------
     def to_pandas(self):
         v = np.asarray(self.values)
