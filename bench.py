@@ -68,13 +68,49 @@ def numpy_baseline_seconds(fields, lat, V, POWn, matrix, t_sub=48):
              "r_irradiance": 1000.0, "k_1": -0.017162, "k_2": -0.040289,
              "k_3": -0.004681, "k_4": 0.000148, "k_5": 0.000169,
              "k_6": 0.000005, "inverter_efficiency": 0.9}
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wind_cf = ref.wind_cf_numpy(sub, V, POWn, 1.0, 80.0)
+        pv_cf = ref.pv_cf_numpy(sub, lat, panel)
+        _ = wind_cf.reshape(t_sub, -1) @ matrix.T
+        _ = pv_cf.reshape(t_sub, -1) @ matrix.T
+        best = min(best, time.perf_counter() - t0)
+    return best * (T / t_sub)
+
+
+def bench_availability():
+    """Batched device availability matrix: fine-pixel-shape rate (Mpix/s)."""
+    import jax
+
+    from atlite_tpu import Cutout, ExclusionContainer
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.geometry import box
+    from atlite_tpu.gis.kernels import availability_matrix_device
+    from atlite_tpu.gis.raster import Raster
+
+    cutout = Cutout(path=None, module="synthetic", bounds=(-4, 56, 1.5, 62),
+                    time="2013-01-01")
+    rng = np.random.default_rng(0)
+    landuse = Raster(rng.integers(1, 6, (640, 580)).astype(np.uint8),
+                     Affine(0.01, 0, -4.2, 0, -0.01, 62.3), 4326, 255)
+    S = 12
+    xs = np.linspace(-4, 0.5, 5)
+    ys = np.linspace(56, 61, 4)
+    shapes = [box(x, y, x + 1.2, y + 1.3) for x in xs[:4] for y in ys[:3]][:S]
+
+    def run():
+        exc = ExclusionContainer(4326, res=0.01)
+        exc.add_raster(landuse, codes=[4, 5])
+        return availability_matrix_device(cutout, shapes, exc)
+
+    run()  # compile + warm
     t0 = time.perf_counter()
-    wind_cf = ref.wind_cf_numpy(sub, V, POWn, 1.0, 80.0)
-    pv_cf = ref.pv_cf_numpy(sub, lat, panel)
-    _ = wind_cf.reshape(t_sub, -1) @ matrix.T
-    _ = pv_cf.reshape(t_sub, -1) @ matrix.T
+    out = run()
     dt = time.perf_counter() - t0
-    return dt * (T / t_sub)
+    npix = S * 625 * 575  # fine lattice ~ (625, 575)
+    assert np.isfinite(out).all()
+    return round(npix / dt / 1e6, 1)
 
 
 def main():
@@ -157,6 +193,8 @@ def main():
     base_secs = numpy_baseline_seconds(fields_np, lat, V, POWn, matrix)
     vs_baseline = base_secs / device_secs
 
+    avail = bench_availability()
+
     print(json.dumps({
         "metric": "grid-cell-hours/s (wind+PV CF + bus aggregation)",
         "value": round(throughput, 1),
@@ -166,6 +204,7 @@ def main():
             "T": T, "Y": Y, "X": X, "buses": B,
             "device_secs_per_step": round(device_secs, 6),
             "baseline_secs_per_step": round(base_secs, 4),
+            "availability_Mpix_per_s": avail,
             "device": str(jax.devices()[0]),
         },
     }))
