@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from tempfile import mktemp
 
 import jax.numpy as jnp
 import numpy as np

@@ -104,7 +104,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     """Full availability matrix on device; numerically equivalent to the
     host path on the shared res-snapped lattice.  Returns (S, Y, X) numpy
     (ascending y, like compute_availabilitymatrix)."""
-    from atlite_tpu.gis.crs import normalize_crs, transform_points
+    from atlite_tpu.gis.crs import transform_points
     from atlite_tpu.gis.exclusion import _as_geometry_list
     from atlite_tpu.gis.raster import (
         binary_dilation, overlap_matrix, padded_transform_and_shape,

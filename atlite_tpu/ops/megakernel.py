@@ -19,7 +19,7 @@ tile is revisited consecutively and accumulates in VMEM.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import logging
-from pathlib import Path
+
 
 logger = logging.getLogger(__name__)
 
