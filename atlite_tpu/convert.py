@@ -142,7 +142,11 @@ def convert_and_aggregate(
 
     func_name = convert_func.__name__.replace("convert_", "")
     logger.info(f"Convert and aggregate '{func_name}'.")
-    da = convert_func(cutout, **convert_kwds)
+    time_chunk = convert_kwds.pop("time_chunk", None)
+    if time_chunk:
+        da = _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds)
+    else:
+        da = convert_func(cutout, **convert_kwds)
 
     no_args = all(v is None for v in [layout, shapes, matrix])
     if no_args:
@@ -210,6 +214,36 @@ def convert_and_aggregate(
     if return_capacity:
         return results, capacity
     return results
+
+
+def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
+    """Stream the conversion over time chunks.
+
+    For cutouts whose field tensors exceed HBM, each chunk's fields are
+    staged to the device, converted, and the result pulled back to host
+    memory — the device holds only one chunk at a time (the streaming
+    analog of the reference's dask time-chunking, cutout.py:143).  Only
+    valid for time-local converters (everything except the daily-resample
+    demand converters).
+    """
+    if convert_func in (convert_heat_demand, convert_cooling_demand):
+        raise ValueError(
+            "time_chunk is not supported for daily-resampled demand "
+            "converters (chunk boundaries would split days)"
+        )
+    T = len(cutout.grid_desc.time)
+    pieces = []
+    for t0 in range(0, T, time_chunk):
+        sub = cutout.isel_time(t0, min(t0 + time_chunk, T))
+        da = convert_func(sub, **convert_kwds)
+        pieces.append(np.asarray(da.values))
+        template = da
+    values = np.concatenate(pieces, axis=0)
+    return DataArray(
+        values,
+        coords={**template.coords, "time": cutout.grid_desc.time_index},
+        dims=template.dims, attrs=template.attrs, name=template.name,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -356,6 +356,20 @@ class Cutout:
                      var_attrs=dict(self.var_attrs), dtype=self.dtype)
         return out
 
+    def isel_time(self, t0, t1):
+        """Lightweight time-slice view (no data copy; arrays are sliced
+        numpy views / mmaps).  Used by the chunked conversion streamer."""
+        from dataclasses import replace as _replace
+
+        g = self.grid_desc
+        new_grid = _replace(g, time=g.time[t0:t1])
+        data = {}
+        for name, arr in self.data.items():
+            dims = tuple(self.var_attrs.get(name, {}).get("dims", ("time", "y", "x")))
+            data[name] = np.asarray(arr)[t0:t1] if dims[0] == "time" else arr
+        return Cutout(None, data=data, grid_desc=new_grid, attrs=dict(self.attrs),
+                      var_attrs=dict(self.var_attrs), dtype=self.dtype)
+
     def merge(self, other, path=None, **kwargs):
         """Merge the variables of two aligned cutouts (cutout.py:415-451)."""
         assert isinstance(other, Cutout)

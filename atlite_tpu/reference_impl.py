@@ -37,6 +37,93 @@ def _latitude_optimal_numpy(lat):
     return slope, azimuth
 
 
+def surface_orientation_numpy(alt, az, lat, slope_deg, panel_az_deg, tracking):
+    """Float64 numpy twin of physics.orientation.surface_orientation for a
+    constant orientation, all tracking modes."""
+    slope = np.radians(slope_deg)
+    panel_az = np.radians(panel_az_deg)
+    sin_alt, cos_alt = np.sin(alt), np.cos(alt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if tracking is None:
+            cosinc = (np.sin(slope) * cos_alt * np.cos(panel_az - az)
+                      + np.cos(slope) * sin_alt)
+            out_slope = np.broadcast_to(slope, alt.shape)
+        elif tracking == "horizontal":
+            rotation = np.arctan((cos_alt / sin_alt) * np.sin(az - panel_az))
+            out_slope = np.abs(rotation)
+            surf_az = panel_az + np.arcsin(np.sin(rotation) / np.sin(out_slope))
+            cosinc = (np.cos(out_slope) * sin_alt
+                      + np.sin(out_slope) * cos_alt * np.cos(az - surf_az))
+        elif tracking == "tilted_horizontal":
+            axis_tilt = slope
+            rotation = np.arctan(
+                (cos_alt * np.sin(az - panel_az))
+                / (cos_alt * np.cos(az - panel_az) * np.sin(axis_tilt)
+                   + sin_alt * np.cos(axis_tilt))
+            )
+            out_slope = np.arccos(np.cos(rotation) * np.cos(axis_tilt))
+            dazi = az - panel_az
+            dazi = np.where(dazi > np.pi, dazi - 2 * np.pi, dazi)
+            dazi = np.where(dazi < -np.pi, dazi + 2 * np.pi, dazi)
+            rotation = np.where((rotation < 0) & (dazi > 0), rotation + np.pi,
+                                rotation)
+            rotation = np.where((rotation > 0) & (dazi < 0), rotation - np.pi,
+                                rotation)
+            cosinc = np.cos(rotation) * (
+                np.sin(axis_tilt) * cos_alt * np.cos(az - panel_az)
+                + np.cos(axis_tilt) * sin_alt
+            ) + np.sin(rotation) * cos_alt * np.sin(az - panel_az)
+        elif tracking == "vertical":
+            cosinc = np.sin(slope) * cos_alt + np.cos(slope) * sin_alt
+            out_slope = np.broadcast_to(slope, alt.shape)
+        elif tracking == "dual":
+            cosinc = np.ones_like(alt)
+            out_slope = np.broadcast_to(np.pi / 2, alt.shape)
+        else:
+            raise ValueError(tracking)
+    return np.clip(cosinc, 0.0, None), out_slope
+
+
+def tilted_total_hay_davies_numpy(fields, alt, cosinc, slope,
+                                  altitude_threshold=1.0):
+    """Hay-Davies transposition, float64 (reference irradiation.py:76-145,
+    228-236)."""
+    toa = np.asarray(fields["influx_toa"], dtype=float)
+    direct = np.clip(np.asarray(fields["influx_direct"], dtype=float), 0, toa)
+    diffuse = np.clip(np.asarray(fields["influx_diffuse"], dtype=float),
+                      0, toa - direct)
+    sin_alt = np.sin(alt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        influx = direct + diffuse
+        f = np.nan_to_num(np.sqrt(direct / influx))
+        A = direct / toa
+        R_b = cosinc / sin_alt
+        diffuse_t = ((1.0 - A) * ((1 + np.cos(slope)) / 2.0)
+                     * (1.0 + f * np.sin(slope / 2.0) ** 3) + A * R_b) * diffuse
+        diffuse_t = np.nan_to_num(np.clip(diffuse_t, 0.0, None))
+        direct_t = R_b * direct
+        ground_t = (influx * np.asarray(fields["albedo"], dtype=float)
+                    * (1.0 - np.cos(slope)) / 2.0)
+        total = direct_t + diffuse_t + ground_t
+    cap = (alt < np.radians(altitude_threshold)) | (direct + diffuse <= 0.01)
+    return np.where(cap, 0.0, total)
+
+
+def power_bofinger_numpy(irr, t_amb, pc):
+    """Bofinger panel model, float64 (solar_panel_model.py:47-74)."""
+    fraction = (pc["NOCT"] - pc["Tamb"]) / pc["Intc"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eta_ref = (pc["A"] + pc["B"] * irr
+                   + pc["C"] * np.log(np.where(irr != 0, irr, np.nan)))
+        eta = np.nan_to_num(
+            eta_ref * (1.0 + pc["D"] * (fraction * irr + (t_amb - pc["Tstd"])))
+            / (1.0 + pc["D"] * fraction / pc["ta"] * eta_ref * irr)
+        )
+    capacity = (pc["A"] + pc["B"] * 1000.0 + pc["C"] * np.log(1000.0)) * 1e3
+    power = irr * eta * (pc.get("inverter_efficiency", 1.0) / capacity)
+    return np.where(irr >= pc["threshold"], power, 0.0)
+
+
 def pv_cf_numpy(fields, lat, panel, altitude_threshold=1.0):
     """Fixed latitude-optimal panel, simple trigon model, Huld panel."""
     alt = np.asarray(fields["solar_altitude"], dtype=float)

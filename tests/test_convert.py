@@ -167,3 +167,26 @@ def test_higher_altitude_higher_runoff(cutout):
     ratio_w = r[hi].mean() / max(r[lo].mean(), 1e-12)
     ratio_n = rn[hi].mean() / max(rn[lo].mean(), 1e-12)
     assert ratio_w > ratio_n  # weighting amplifies altitude contrast
+
+
+def test_time_chunked_conversion_equals_full(cutout_week):
+    full = cutout_week.wind("Vestas_V112_3MW", aggregate_time=None)
+    chunked = cutout_week.wind("Vestas_V112_3MW", aggregate_time=None,
+                               time_chunk=48)
+    np.testing.assert_allclose(np.asarray(chunked.values),
+                               np.asarray(full.values), rtol=1e-12)
+    # uneven chunk boundary + aggregation path
+    layout = cutout_week.uniform_layout()
+    full_b = cutout_week.pv(panel="CSi", orientation="latitude_optimal",
+                            layout=layout, aggregate_time=None)
+    chunk_b = cutout_week.pv(panel="CSi", orientation="latitude_optimal",
+                             layout=layout, aggregate_time=None, time_chunk=50)
+    np.testing.assert_allclose(np.asarray(chunk_b.values),
+                               np.asarray(full_b.values), rtol=1e-10)
+
+
+def test_time_chunked_demand_raises(cutout_week):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cutout_week.heat_demand(aggregate_time=None, time_chunk=24)
