@@ -192,14 +192,51 @@ class Cutout:
         ) <= set(prep.values)
 
     # -------------------------------------------------------------- device
+    def shard(self, mesh=None):
+        """Distribute the cutout's fields over a device mesh.
+
+        Fields are placed with the ("t", "x") decomposition of
+        atlite_tpu.core.mesh (time data-parallel, x spatial); every
+        converter then runs SPMD — GSPMD propagates the shardings through
+        the jitted pipelines and inserts the ICI collectives for the bus
+        aggregation.  Axes that do not divide the mesh stay replicated.
+        Pass mesh=None to build a mesh over all visible devices.
+        """
+        from atlite_tpu.core.mesh import make_mesh
+
+        self._mesh = make_mesh() if mesh is None else mesh
+        self._invalidate()
+        return self
+
+    def unshard(self):
+        self._mesh = None
+        self._invalidate()
+        return self
+
     def fields(self, dtype=None):
-        """Device (HBM) mirrors of all prepared variables."""
+        """Device (HBM) mirrors of all prepared variables (sharded over the
+        mesh after ``shard()``)."""
         dtype = self.dtype if dtype is None else np.dtype(dtype)
+        mesh = getattr(self, "_mesh", None)
         if self._fields_cache is None or self._fields_cache[0] != dtype:
-            cache = {
-                name: jnp.asarray(np.asarray(arr), dtype=dtype)
-                for name, arr in self.data.items()
-            }
+            cache = {}
+            for name, arr in self.data.items():
+                a = jnp.asarray(np.asarray(arr), dtype=dtype)
+                if mesh is not None:
+                    import jax
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    t_ok = a.ndim >= 1 and a.shape[0] % mesh.shape["t"] == 0
+                    x_ok = a.shape[-1] % mesh.shape["x"] == 0
+                    if a.ndim == 3:
+                        spec = P("t" if t_ok else None, None,
+                                 "x" if x_ok else None)
+                    elif a.ndim == 2:
+                        spec = P(None, "x" if x_ok else None)
+                    else:
+                        spec = P()
+                    a = jax.device_put(a, NamedSharding(mesh, spec))
+                cache[name] = a
             self._fields_cache = (dtype, cache)
         return self._fields_cache[1]
 

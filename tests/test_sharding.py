@@ -84,3 +84,44 @@ def test_dryrun_multichip_entry():
 
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_sharded_cutout_converters_match(cutout):
+    """cutout.shard(mesh): converter results equal the unsharded run."""
+    from atlite_tpu.core.mesh import make_mesh
+
+    ref_wind = np.asarray(cutout.wind("Vestas_V112_3MW",
+                                      aggregate_time=None).values)
+    ref_pv = np.asarray(cutout.pv(panel="CSi", orientation="latitude_optimal",
+                                  aggregate_time=None).values)
+    mesh = make_mesh(jax.devices()[:8])
+    try:
+        cutout.shard(mesh)
+        wind_s = np.asarray(cutout.wind("Vestas_V112_3MW",
+                                        aggregate_time=None).values)
+        pv_s = np.asarray(cutout.pv(panel="CSi",
+                                    orientation="latitude_optimal",
+                                    aggregate_time=None).values)
+    finally:
+        cutout.unshard()
+    np.testing.assert_allclose(wind_s, ref_wind, rtol=1e-12)
+    np.testing.assert_allclose(pv_s, ref_pv, rtol=1e-12)
+
+
+def test_sharded_cutout_aggregation(cutout):
+    import pandas as pd
+
+    from atlite_tpu.core.mesh import make_mesh
+    from atlite_tpu.gis.geometry import box
+
+    shapes = pd.Series({"a": box(-4, 56, -1, 62), "b": box(-1, 56, 1.5, 62)})
+    ref = np.asarray(cutout.wind("Vestas_V112_3MW", shapes=shapes,
+                                 aggregate_time=None).values)
+    mesh = make_mesh(jax.devices()[:8])
+    try:
+        cutout.shard(mesh)
+        got = np.asarray(cutout.wind("Vestas_V112_3MW", shapes=shapes,
+                                     aggregate_time=None).values)
+    finally:
+        cutout.unshard()
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
