@@ -68,17 +68,22 @@ def _dense_spmm(flat_tc, dense_m):
 
 def spmm(matrix: sp.spmatrix, flat_tc):
     """Aggregate (T, C) cell series to (T, B) bus series with a host sparse
-    matrix, choosing the dense-MXU or segment-sum path by size."""
+    matrix.
+
+    Small matrices densify onto the MXU; large ones use the block-sparse
+    path (ops/bsr_spmm) — dense tiles of the spatially-banded region
+    matrices contracted by MXU matmuls.  The gather-based segment-sum
+    (kept for reference/CPU) is never chosen on TPU: dynamic gathers
+    measured 100-500x slower than block matmuls there (PERF.md).
+    """
     B, C = matrix.shape
     flat_tc = jnp.asarray(flat_tc)
     if B * C <= _DENSE_LIMIT:
         dense = jnp.asarray(matrix.toarray(), dtype=flat_tc.dtype)
         return _dense_spmm(flat_tc, dense)
-    coo = matrix.tocoo()
-    rows = jnp.asarray(coo.row, dtype=jnp.int32)
-    cols = jnp.asarray(coo.col, dtype=jnp.int32)
-    vals = jnp.asarray(coo.data, dtype=flat_tc.dtype)
-    return _segment_spmm(flat_tc, rows, cols, vals, B)
+    from atlite_tpu.ops.bsr_spmm import bsr_spmm, to_bsr
+
+    return bsr_spmm(to_bsr(matrix), flat_tc)
 
 
 def aggregate_matrix(da, matrix, index=None, index_name="bus"):

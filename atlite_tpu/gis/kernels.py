@@ -100,10 +100,16 @@ def average_downsample(masks, Wy, Wx):
 
 
 def availability_matrix_device(cutout, shapes_geoms, excluder,
-                               shapes_crs=4326, row_tile=64):
+                               shapes_crs=4326, row_tile=64,
+                               max_device_pixels=64_000_000):
     """Full availability matrix on device; numerically equivalent to the
     host path on the shared res-snapped lattice.  Returns (S, Y, X) numpy
-    (ascending y, like compute_availabilitymatrix)."""
+    (ascending y, like compute_availabilitymatrix).
+
+    Streams over fine-raster row blocks (bounded by ``max_device_pixels``
+    of S×rows×nx boolean work at a time), accumulating the downsampled
+    partial sums — scales to country-size 100 m lattices.
+    """
     from atlite_tpu.gis.crs import transform_points
     from atlite_tpu.gis.exclusion import _as_geometry_list
     from atlite_tpu.gis.raster import (
@@ -155,18 +161,41 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     # device: batched rasterization of the query shapes
     geoms = _as_geometry_list(shapes_geoms, shapes_crs, crs)
     edges, emask = shapes_to_edges(geoms)
-    fine = rasterize_shapes(
-        jnp.asarray(edges, dtype=jnp.float64 if jax.config.x64_enabled else jnp.float32),
-        jnp.asarray(emask), jnp.asarray(px), jnp.asarray(py), row_tile=row_tile,
-    )
-    fine = fine & jnp.asarray(~exclusions)[None]
+    S = len(geoms)
+    dtype = jnp.float64 if jax.config.x64_enabled else jnp.float32
+    edges_d = jnp.asarray(edges, dtype=dtype)
+    emask_d = jnp.asarray(emask)
+    px_d = jnp.asarray(px)
 
-    # device: overlap-matmul downsample onto the (top-down) cutout raster
     tr = g.transform_r
-    Wx = overlap_matrix(transform.c, transform.a, nx, tr.c, tr.a, g.shape[1])
-    Wy = overlap_matrix(transform.f, transform.e, ny, tr.f, tr.e, g.shape[0])
-    # normalise by full dst-cell coverage: matches the host path's
-    # pad_extent-with-zeros + GDAL-average (partial fine coverage counts 0)
-    avail = average_downsample(fine, jnp.asarray(Wy, dtype=jnp.float32),
-                               jnp.asarray(Wx, dtype=jnp.float32))
-    return np.asarray(avail)[:, ::-1]  # flip to ascending y
+    Wx = jnp.asarray(
+        overlap_matrix(transform.c, transform.a, nx, tr.c, tr.a, g.shape[1]),
+        dtype=jnp.float32,
+    )
+    Wy_full = overlap_matrix(transform.f, transform.e, ny, tr.f, tr.e, g.shape[0])
+    den = (Wy_full.sum(axis=1)[:, None] * np.asarray(Wx).sum(axis=1)[None, :])
+
+    # stream over fine-row blocks so device memory stays bounded at
+    # S x row_block x nx regardless of the fine raster size
+    row_block = max(row_tile, min(ny, max_device_pixels // max(S * nx, 1)))
+    row_block = -(-row_block // row_tile) * row_tile
+
+    @partial(jax.jit, static_argnames=())
+    def block_partial(py_blk, excl_blk, Wy_blk):
+        fine = rasterize_shapes(edges_d, emask_d, px_d, py_blk,
+                                row_tile=row_tile)
+        fine = fine & ~excl_blk
+        return jnp.einsum("ab,sbc,dc->sad", Wy_blk, fine.astype(jnp.float32),
+                          Wx, preferred_element_type=jnp.float32)
+
+    num = None
+    for b0 in range(0, ny, row_block):
+        b1 = min(b0 + row_block, ny)
+        part = block_partial(
+            jnp.asarray(py[b0:b1]),
+            jnp.asarray(exclusions[b0:b1]),
+            jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
+        )
+        num = part if num is None else num + part
+    avail = np.asarray(num) / den[None]
+    return avail[:, ::-1]  # flip to ascending y

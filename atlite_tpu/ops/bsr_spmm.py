@@ -46,7 +46,7 @@ def to_bsr(matrix: sp.spmatrix, block_b=8, block_c=512):
     keys = rb.astype(np.int64) * nc + cb
     uniq, inv = np.unique(keys, return_inverse=True)
     K = len(uniq)
-    blocks = np.zeros((K, block_b, block_c), dtype=np.float32)
+    blocks = np.zeros((K, block_b, block_c), dtype=coo.data.dtype)
     blocks[inv, coo.row % block_b, coo.col % block_c] = coo.data
     row_blk = (uniq // nc).astype(np.int32)
     col_blk = (uniq % nc).astype(np.int32)
