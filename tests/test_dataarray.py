@@ -1,0 +1,98 @@
+"""DataArray-lite unit tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from atlite_tpu.dataarray import DataArray
+
+
+@pytest.fixture
+def da():
+    return DataArray(
+        np.arange(24.0).reshape(2, 3, 4),
+        coords={"time": pd.date_range("2013-01-01", periods=2, freq="h"),
+                "y": [50.0, 50.5, 51.0], "x": [1.0, 1.5, 2.0, 2.5]},
+        dims=("time", "y", "x"), name="t",
+    )
+
+
+def test_basic_props(da):
+    assert da.shape == (2, 3, 4)
+    assert da.sizes == {"time": 2, "y": 3, "x": 4}
+    assert da.get_axis_num("x") == 2
+
+
+def test_isel_sel(da):
+    sub = da.isel(time=0)
+    assert sub.dims == ("y", "x")
+    s2 = da.sel(x=slice(1.5, 2.0))
+    assert s2.shape == (2, 3, 2)
+    s3 = da.sel(x=1.6, method="nearest")
+    assert s3.shape == (2, 3)
+    np.testing.assert_array_equal(s3.values, da.values[:, :, 1])
+    s4 = da.sel(y=50.5)
+    assert s4.shape == (2, 4)
+
+
+def test_reductions(da):
+    m = da.mean("time")
+    assert m.dims == ("y", "x")
+    np.testing.assert_allclose(m.values, da.values.mean(axis=0))
+    assert np.isclose(da.sum(), da.values.sum())
+
+
+def test_arith_broadcasting(da):
+    other = DataArray(np.array([1.0, 2.0, 3.0]), coords={"y": da.coords["y"]},
+                      dims=("y",))
+    out = da * other
+    assert out.dims == ("time", "y", "x")
+    np.testing.assert_allclose(out.values,
+                               da.values * np.array([1, 2, 3])[None, :, None])
+    out2 = 2.0 - da
+    np.testing.assert_allclose(out2.values, 2.0 - da.values)
+    out3 = (da + 1.0) / (da + 1.0)
+    np.testing.assert_allclose(out3.values, 1.0)
+
+
+def test_where_clip_fillna(da):
+    out = da.where(da > 5)
+    assert np.isnan(out.values).sum() == 6
+    filled = out.fillna(-1.0)
+    assert (filled.values == -1).sum() == 6
+    clipped = da.clip(min=3, max=10)
+    assert clipped.values.min() == 3 and clipped.values.max() == 10
+
+
+def test_rolling_mean():
+    da = DataArray(np.arange(6.0), coords={"time": range(6)}, dims=("time",))
+    rm = da.rolling_mean("time", 3, min_periods=1)
+    np.testing.assert_allclose(rm.values, [0, 0.5, 1, 2, 3, 4])
+
+
+def test_transpose_to_pandas(da):
+    t = da.isel(x=0).transpose("y", "time")
+    assert t.dims == ("y", "time")
+    df = t.to_pandas()
+    assert df.shape == (3, 2)
+    with pytest.raises(ValueError):
+        da.to_pandas()
+
+
+def test_coord_length_validation():
+    with pytest.raises(ValueError):
+        DataArray(np.zeros((2, 2)), coords={"a": [1], "b": [1, 2]},
+                  dims=("a", "b"))
+
+
+def test_plot_smoke(da, tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    da.isel(time=0).plot()
+    plt.savefig(tmp_path / "f.png")
+    plt.close("all")
+    da.isel(time=0, y=0).plot()
+    plt.close("all")

@@ -80,3 +80,14 @@ def test_availability_device_geometry_exclusion(cutout):
         & (g.y[:, None] > Y0 + 0.2) & (g.y[:, None] < Y1 - 0.2)
     assert np.all(dev[0][ne] < 1e-6)
     assert np.all(dev[0][inside] > 0.99)
+
+
+def test_availability_device_streamed_blocks_equal(cutout):
+    """Row-block streaming (bounded device memory) equals single-block."""
+    shapes = [box(-3, 57, 0, 60), box(-2, 58, 1, 61)]
+    exc1 = ExclusionContainer(4326, res=0.01)
+    a1 = availability_matrix_device(cutout, shapes, exc1)
+    exc2 = ExclusionContainer(4326, res=0.01)
+    a2 = availability_matrix_device(cutout, shapes, exc2,
+                                    max_device_pixels=200_000)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
