@@ -101,7 +101,7 @@ def average_downsample(masks, Wy, Wx):
 
 def availability_matrix_device(cutout, shapes_geoms, excluder,
                                shapes_crs=4326, row_tile=64,
-                               max_device_pixels=64_000_000):
+                               max_device_pixels=64_000_000, mesh=None):
     """Full availability matrix on device; numerically equivalent to the
     host path on the shared res-snapped lattice.  Returns (S, Y, X) numpy
     (ascending y, like compute_availabilitymatrix).
@@ -166,6 +166,20 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     edges_d = jnp.asarray(edges, dtype=dtype)
     emask_d = jnp.asarray(emask)
     px_d = jnp.asarray(px)
+    if mesh is not None:
+        # shard the SHAPES axis across every device of the mesh — the
+        # multi-chip analog of the reference's multiprocessing-over-shapes
+        # Pool (gis.py:740-756); GSPMD partitions the PIP broadcast and
+        # the downsample matmuls per shard with no communication
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if S % n_dev == 0:
+            axes = tuple(mesh.axis_names)
+            edges_d = jax.device_put(
+                edges_d, NamedSharding(mesh, P(axes, None, None)))
+            emask_d = jax.device_put(
+                emask_d, NamedSharding(mesh, P(axes, None)))
 
     tr = g.transform_r
     Wx = jnp.asarray(

@@ -91,3 +91,20 @@ def test_availability_device_streamed_blocks_equal(cutout):
     a2 = availability_matrix_device(cutout, shapes, exc2,
                                     max_device_pixels=200_000)
     np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_availability_device_shape_sharded(cutout):
+    """Shape-parallel availability over an 8-device mesh == unsharded."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from atlite_tpu.core.mesh import make_mesh
+
+    shapes = [box(-3.8 + 0.6 * i, 56.2, -3.3 + 0.6 * i, 61.5) for i in range(8)]
+    exc1 = ExclusionContainer(4326, res=0.01)
+    a1 = availability_matrix_device(cutout, shapes, exc1)
+    exc2 = ExclusionContainer(4326, res=0.01)
+    a2 = availability_matrix_device(cutout, shapes, exc2,
+                                    mesh=make_mesh(jax.devices()[:8]))
+    np.testing.assert_allclose(a2, a1, atol=1e-6)
