@@ -21,6 +21,7 @@ from atlite_tpu.gis.raster import (
     reproject_nearest,
 )
 from atlite_tpu.gis.regrid import Resampling, regrid
+from atlite_tpu.core.grid import coordinate_range as get_coords  # reference gis.py:36
 
 
 def reproject_shapes(shapes, crs1, crs2):

@@ -69,6 +69,15 @@ def regrid(da, dimx, dimy, resampling="bilinear", src_crs=4326, dst_crs=4326):
     src_y = np.asarray(da.coords["y"].values, dtype=float)
     values = np.asarray(da.values, dtype=float)
 
+    # normalize to ascending source coordinates (the reference's
+    # maybe_swap_spatial_dims, gis.py:765-778)
+    if len(src_x) > 1 and src_x[0] > src_x[-1]:
+        src_x = src_x[::-1]
+        values = values[..., ::-1]
+    if len(src_y) > 1 and src_y[0] > src_y[-1]:
+        src_y = src_y[::-1]
+        values = values[..., ::-1, :]
+
     lead_shape = values.shape[:-2]
     flat = values.reshape((-1,) + values.shape[-2:])
     dst_shape = (len(dimy), len(dimx))

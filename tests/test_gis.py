@@ -327,3 +327,28 @@ def test_area_3035_plausible(cutout):
     assert vals.min() > 2e8 and vals.max() < 8e8
     # cells shrink with latitude
     assert vals[0].mean() > vals[-1].mean()
+
+
+def test_regrid_descending_coords():
+    """Descending-coordinate inputs are normalized (reference
+    maybe_swap_spatial_dims, gis.py:765-778)."""
+    from atlite_tpu.gis.regrid import regrid
+
+    v = np.arange(16, dtype=float).reshape(4, 4)
+    c = np.arange(0.5, 4, 1)
+    da_asc = DataArray(v, coords={"y": c, "x": c}, dims=("y", "x"))
+    da_desc = DataArray(v[::-1, ::-1],
+                        coords={"y": c[::-1], "x": c[::-1]}, dims=("y", "x"))
+    coarse = np.array([1.0, 3.0])
+    r1 = regrid(da_asc, coarse, coarse, resampling="average")
+    r2 = regrid(da_desc, coarse, coarse, resampling="average")
+    np.testing.assert_allclose(r2.values, r1.values)
+
+
+def test_gis_namespace_aliases():
+    import atlite_tpu.gis as gis
+
+    assert callable(gis.get_coords)
+    assert callable(gis.reproject_shapes)
+    assert callable(gis.spdiag)
+    assert gis.Resampling.average == "average"
