@@ -71,6 +71,44 @@ def test_turbine_registry():
     assert conf["POW"][-1] == 0  # has cut-out
 
 
+def test_turbine_catalog_reference_parity():
+    """Every turbine the reference registry exposes resolves here too
+    (reference resources/windturbine/*.yaml; registry resource.py:514)."""
+    reference_names = [
+        "Bonus_B1000_1000kW", "Enercon_E101_3000kW", "Enercon_E126_7500kW",
+        "Enercon_E82_3000kW",
+        "NREL_ReferenceTurbine_2016CACost_10MW_offshore",
+        "NREL_ReferenceTurbine_2016CACost_6MW_offshore",
+        "NREL_ReferenceTurbine_2016CACost_8MW_offshore",
+        "NREL_ReferenceTurbine_2019ORCost_12MW_offshore",
+        "NREL_ReferenceTurbine_2019ORCost_15MW_offshore",
+        "NREL_ReferenceTurbine_2020ATB_12MW_offshore",
+        "NREL_ReferenceTurbine_2020ATB_15MW_offshore",
+        "NREL_ReferenceTurbine_2020ATB_18MW_offshore",
+        "NREL_ReferenceTurbine_2020ATB_4MW",
+        "NREL_ReferenceTurbine_2020ATB_5.5MW",
+        "NREL_ReferenceTurbine_2020ATB_7MW",
+        "NREL_ReferenceTurbine_5MW_offshore",
+        "Siemens_SWT_107_3600kW", "Siemens_SWT_2300kW", "Suzlon_S82_1.5_MW",
+        "Vestas_V112_3MW", "Vestas_V112_3MW_offshore",
+        "Vestas_V164_7MW_offshore", "Vestas_V25_200kW", "Vestas_V47_660kW",
+        "Vestas_V66_1750kW", "Vestas_V80_2MW_gridstreamer", "Vestas_V90_3MW",
+    ]
+    for name in reference_names:
+        assert name in windturbines, name
+        conf = get_windturbineconfig(name)
+        assert np.all(np.diff(conf["V"]) >= 0)
+        assert conf["POW"].max() == conf["P"] > 0
+        assert conf["POW"][-1] == 0  # cut-out present
+    # the extension-less eno_126_* files are path-only, like the reference
+    from atlite_tpu.resource import WINDTURBINE_DIRECTORY
+
+    for name in ("eno_126_3.5", "eno_126_4", "eno_126_4.8"):
+        assert name not in windturbines
+        conf = get_windturbineconfig(WINDTURBINE_DIRECTORY / name)
+        assert conf["hub_height"] == 117.0
+
+
 def test_turbine_dict_validation():
     conf = get_windturbineconfig(
         dict(V=[0, 10, 20], POW=[0, 1, 1], P=1, hub_height=100),

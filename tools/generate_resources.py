@@ -38,25 +38,56 @@ def power_curve(v_cutin, v_rated, v_cutout, p_rated, smooth=0.6):
 
 TURBINES = {
     # name: (hub_height, v_cutin, v_rated, v_cutout, p_rated_MW)
+    # Nameplate specs (hub height, cut-in/rated/cut-out speed, rated power)
+    # are public manufacturer facts; the curves between them are synthesized
+    # by the parametric model above.
     "Vestas_V112_3MW": (80.0, 3.0, 12.5, 25.0, 3.0),
+    "Vestas_V112_3MW_offshore": (94.0, 3.0, 12.5, 25.0, 3.075),
     "Vestas_V90_3MW": (80.0, 3.5, 15.0, 25.0, 3.0),
+    "Vestas_V80_2MW_gridstreamer": (80.0, 4.0, 15.0, 25.0, 2.0),
+    "Vestas_V66_1750kW": (67.0, 4.0, 16.0, 25.0, 1.75),
     "Vestas_V47_660kW": (50.0, 4.0, 15.5, 25.0, 0.66),
     "Vestas_V25_200kW": (30.0, 3.5, 13.5, 25.0, 0.2),
+    "Vestas_V164_7MW_offshore": (105.0, 4.0, 13.0, 25.0, 7.0),
     "Siemens_SWT_2300kW": (80.0, 3.5, 13.5, 25.0, 2.3),
+    "Siemens_SWT_107_3600kW": (90.0, 3.5, 13.5, 25.0, 3.6),
     "Enercon_E101_3000kW": (99.0, 2.0, 13.0, 25.0, 3.05),
     "Enercon_E82_3000kW": (78.0, 2.5, 16.0, 25.0, 3.0),
+    "Enercon_E126_7500kW": (135.0, 3.0, 16.5, 25.0, 7.58),
     "NREL_ReferenceTurbine_5MW_offshore": (90.0, 3.0, 11.4, 25.0, 5.0),
+    "NREL_ReferenceTurbine_2016CACost_6MW_offshore": (100.0, 4.0, 12.5, 25.0, 6.0),
+    "NREL_ReferenceTurbine_2016CACost_8MW_offshore": (110.0, 4.0, 12.5, 25.0, 8.0),
+    "NREL_ReferenceTurbine_2016CACost_10MW_offshore": (125.0, 4.0, 11.5, 25.0, 10.0),
+    "NREL_ReferenceTurbine_2019ORCost_12MW_offshore": (136.0, 3.0, 11.0, 25.0, 12.0),
+    "NREL_ReferenceTurbine_2019ORCost_15MW_offshore": (150.0, 3.0, 10.8, 25.0, 15.0),
+    "NREL_ReferenceTurbine_2020ATB_4MW": (110.0, 3.25, 9.8, 25.0, 4.0),
+    "NREL_ReferenceTurbine_2020ATB_5.5MW": (120.0, 3.25, 10.0, 25.0, 5.5),
+    "NREL_ReferenceTurbine_2020ATB_7MW": (130.0, 3.25, 10.3, 25.0, 7.0),
+    "NREL_ReferenceTurbine_2020ATB_12MW_offshore": (136.0, 3.0, 10.9, 25.0, 12.0),
     "NREL_ReferenceTurbine_2020ATB_15MW_offshore": (150.0, 3.0, 10.6, 25.0, 15.0),
+    "NREL_ReferenceTurbine_2020ATB_18MW_offshore": (156.0, 3.0, 10.4, 25.0, 18.0),
     "Bonus_B1000_1000kW": (50.0, 3.0, 15.0, 25.0, 1.0),
     "Suzlon_S82_1.5_MW": (78.0, 4.0, 14.0, 20.0, 1.5),
     "Nordex_N131_3000kW": (99.0, 3.0, 11.5, 20.0, 3.0),
+}
+
+# Path-only configs shipped without the .yaml suffix (the reference ships
+# eno_126_* the same way: excluded from the registry glob, loadable via an
+# explicit path — reference resource.py:514 globs "*.yaml" only).
+TURBINES_NO_SUFFIX = {
+    "eno_126_3.5": (117.0, 3.0, 12.5, 25.0, 3.5),
+    "eno_126_4": (117.0, 3.0, 13.0, 25.0, 4.0),
+    "eno_126_4.8": (117.0, 3.0, 13.5, 25.0, 4.8),
 }
 
 
 def write_turbines():
     outdir = ROOT / "windturbine"
     outdir.mkdir(parents=True, exist_ok=True)
-    for name, (hub, vci, vr, vco, p) in TURBINES.items():
+    entries = [(f"{name}.yaml", spec) for name, spec in TURBINES.items()]
+    entries += [(name, spec) for name, spec in TURBINES_NO_SUFFIX.items()]
+    for fname, (hub, vci, vr, vco, p) in entries:
+        name = fname.replace(".yaml", "")
         V, POW = power_curve(vci, vr, vco, p)
         lines = [
             f"# {name}: synthesized parametric power curve",
@@ -69,7 +100,7 @@ def write_turbines():
             "V: [" + ", ".join(f"{v:g}" for v in V) + "]",
             "POW: [" + ", ".join(f"{w:g}" for w in POW) + "]",
         ]
-        (outdir / f"{name}.yaml").write_text("\n".join(lines) + "\n")
+        (outdir / fname).write_text("\n".join(lines) + "\n")
 
 
 # NOTE: all temperatures below are in KELVIN — converters feed raw
