@@ -46,6 +46,23 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+def maybe_progressbar(result, show_progress=False, **kwargs):
+    """Materialize a result, logging wall time when requested (the
+    reference wraps ``ds.load()`` in a dask ProgressBar here,
+    convert.py:279-288; XLA dispatch is async, so ``load`` is the sync
+    point on our side)."""
+    if not show_progress:
+        return result.load() if hasattr(result, "load") else result
+    import time
+
+    t0 = time.perf_counter()
+    out = result.load() if hasattr(result, "load") else result
+    logger.info("computed %s in %.2fs",
+                getattr(result, "name", None) or "result",
+                time.perf_counter() - t0)
+    return out
+
+
 def _freeze(d: dict) -> tuple:
     """Hashable static representation of a config dict (numbers/strings)."""
     return tuple(sorted(

@@ -161,6 +161,18 @@ class Cutout:
         return self.grid_desc.dt
 
     @property
+    def chunks(self):
+        """Stored chunk sizes (reference cutout.py:240-249): attrs named
+        ``chunksize_<dim>``; the time entry feeds the ``time_chunk``
+        streaming default of convert_and_aggregate."""
+        chunks = {
+            k[len("chunksize_"):]: v
+            for k, v in self.attrs.items()
+            if k.startswith("chunksize_")
+        }
+        return chunks or None
+
+    @property
     def available_features(self):
         """(module, feature) -> variables Series (reference data.py:76-104)."""
         rows = []

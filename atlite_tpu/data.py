@@ -14,6 +14,31 @@ import pandas as pd
 from atlite_tpu.datasets import modules as datamodules
 
 
+def non_bool_dict(d):
+    """Convert bools to ints for attrs storage (reference data.py:107-111)."""
+    return {k: int(v) if isinstance(v, bool) else v for k, v in d.items()}
+
+
+def maybe_remove_tmpdir(func):
+    """Create-and-clean a tmpdir around ``func`` when the caller passes none
+    (reference data.py:114-129)."""
+    from functools import wraps
+    from shutil import rmtree
+    from tempfile import mkdtemp
+
+    @wraps(func)
+    def wrapper(*args, **kwargs):
+        if kwargs.get("tmpdir", None):
+            return func(*args, **kwargs)
+        kwargs["tmpdir"] = mkdtemp()
+        try:
+            return func(*args, **kwargs)
+        finally:
+            rmtree(kwargs["tmpdir"])
+
+    return wrapper
+
+
 def available_features(module=None):
     """(module, feature) -> variable Series (reference data.py:76-104)."""
     features = {

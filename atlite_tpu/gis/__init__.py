@@ -17,11 +17,25 @@ from atlite_tpu.gis.raster import (
     geometry_mask,
     pad_extent,
     padded_transform_and_shape,
+    projected_mask,
     reproject_average,
     reproject_nearest,
 )
 from atlite_tpu.gis.regrid import Resampling, regrid
 from atlite_tpu.core.grid import coordinate_range as get_coords  # reference gis.py:36
+
+
+def maybe_swap_spatial_dims(da, namex="x", namey="y"):
+    """Normalize a DataArray to ascending x / ascending y coordinate order
+    (reference gis.py:765-779)."""
+    swaps = {}
+    cx = da.coords[namex]
+    cy = da.coords[namey]
+    if len(cx) > 1 and cx[0] > cx[-1]:
+        swaps[namex] = slice(None, None, -1)
+    if len(cy) > 1 and cy[0] > cy[-1]:
+        swaps[namey] = slice(None, None, -1)
+    return da.isel(**swaps) if swaps else da
 
 
 def reproject_shapes(shapes, crs1, crs2):

@@ -145,6 +145,67 @@ def geometry_mask(geometries, shape, transform, invert=False):
     return inside if invert else ~inside
 
 
+def projected_mask(raster: Raster, geom, transform=None, shape=None, crs=None,
+                   allow_no_overlap=False, nodata=None, geom_crs=None):
+    """Crop ``raster`` to a geometry (pixels outside -> nodata) and
+    optionally reproject the crop onto a target grid (reference
+    gis.py:197-230, rasterio.mask(crop=True) + warp.reproject semantics).
+
+    Returns ``(masked_array, crop_transform)`` — or the reprojected array
+    on the target (transform, shape, crs) when ``transform`` is given and
+    differs from the crop's.
+    """
+    nodata = raster.nodata if nodata is None else nodata
+    geoms = geom if isinstance(geom, (list, tuple)) else [geom]
+    geoms = [G.parse_geometry(g) for g in geoms]
+    if geom_crs is not None and normalize_crs(geom_crs) != normalize_crs(raster.crs):
+        from atlite_tpu.gis.geometry import transform_geometry
+
+        geoms = [transform_geometry(g, geom_crs, raster.crs) for g in geoms]
+
+    bounds = np.array([g.bounds for g in geoms])
+    total = (bounds[:, 0].min(), bounds[:, 1].min(),
+             bounds[:, 2].max(), bounds[:, 3].max())
+    inv = raster.transform.inverse
+    corners_c = [inv.a * x + inv.b * y + inv.c
+                 for x in total[::2] for y in total[1::2]]
+    corners_r = [inv.d * x + inv.e * y + inv.f
+                 for x in total[::2] for y in total[1::2]]
+    c0 = int(np.floor(min(corners_c)))
+    c1 = int(np.ceil(max(corners_c)))
+    r0 = int(np.floor(min(corners_r)))
+    r1 = int(np.ceil(max(corners_r)))
+    c0w, c1w = max(c0, 0), min(c1, raster.shape[1])
+    r0w, r1w = max(r0, 0), min(r1, raster.shape[0])
+
+    if c0w >= c1w or r0w >= r1w:
+        if not allow_no_overlap:
+            raise ValueError(
+                "Input shapes do not overlap raster. Set allow_no_overlap=True "
+                "to ignore (reference gis.py:209-215)."
+            )
+        crop_transform, crop_shape = padded_transform_and_shape(total, raster.res[0])
+        masked = np.full(crop_shape, nodata, dtype=np.asarray(raster.data).dtype)
+    else:
+        x0, y0 = raster.transform * (c0w, r0w)
+        crop_transform = Affine(raster.transform.a, raster.transform.b, x0,
+                                raster.transform.d, raster.transform.e, y0)
+        window = np.asarray(raster.data)[r0w:r1w, c0w:c1w]
+        outside = geometry_mask(geoms, window.shape, crop_transform)
+        masked = np.where(outside, nodata, window)
+
+    if transform is None or (tuple(transform) == tuple(crop_transform)
+                             and masked.shape == tuple(shape or masked.shape)):
+        return masked, crop_transform
+
+    assert shape is not None and crs is not None
+    out = reproject_nearest(
+        Raster(masked, crop_transform, raster.crs, nodata),
+        transform, crs, shape, nodata=nodata,
+    )
+    return out, transform
+
+
 def _dst_pixel_of_points(x, y, dst_transform, dst_shape):
     """Map point coords to integer dst pixel indices (or -1 outside)."""
     inv = dst_transform.inverse

@@ -112,6 +112,15 @@ def inflow_for_plants(basins: Basins, runoff_da, flowspeed=1):
     )
 
 
+def shift_and_aggregate_runoff_for_plants(basins: Basins, runoff,
+                                          flowspeed=1, show_progress=False):
+    """Reference-named wrapper (hydro.py:81-104) around the device
+    shift/aggregate kernel; ``show_progress`` is accepted for signature
+    parity (the whole shift/sum runs as one jitted kernel here)."""
+    del show_progress
+    return inflow_for_plants(basins, runoff, flowspeed)
+
+
 def find_upstream_basins(next_down: pd.Series, hid) -> list:
     """BFS over the NEXT_DOWN graph (hydro.py:33-39)."""
     hids = [hid]

@@ -39,6 +39,33 @@ def migrate_from_cutout_directory(old_cutout_dir, path):
     )
 
 
+def ensure_coords(index):
+    """Normalize an index / mapping into a ``{name: pd.Index}`` coords dict
+    (reference utils.py:22-36; no xarray here, so the return type is the
+    coords mapping our DataArray consumes)."""
+    import pandas as pd
+
+    if isinstance(index, pd.MultiIndex):
+        name = index.name or "dim_0"
+        return {name: index}
+    if isinstance(index, pd.Index):
+        return {index.name or "dim_0": index}
+    if isinstance(index, dict):
+        return {k: pd.Index(v) for k, v in index.items()}
+    raise ValueError(
+        f"index must be a pandas index or a coords mapping, not: {index}"
+    )
+
+
+def timeindex_from_slice(timeslice):
+    """Hourly DatetimeIndex spanning a slice of date strings, end month
+    inclusive (reference utils.py:99-101)."""
+    import pandas as pd
+
+    end = pd.Timestamp(timeslice.stop) + pd.offsets.DateOffset(months=1)
+    return pd.date_range(timeslice.start, end, freq="1h", inclusive="left")
+
+
 def maybe_tqdm(iterable, **kwargs):
     """tqdm progress bar when available and enabled, else passthrough."""
     if not kwargs.pop("enable", True):

@@ -345,6 +345,50 @@ def test_regrid_descending_coords():
     np.testing.assert_allclose(r2.values, r1.values)
 
 
+def test_projected_mask(raster):
+    """Crop-to-geometry + nodata-outside + reprojection path (reference
+    gis.py:197-230)."""
+    from atlite_tpu.gis.raster import projected_mask
+
+    geom = box(X0 + 1, Y0 + 1, X0 + 2, Y0 + 2)
+    masked, tr = projected_mask(raster, geom)
+    # crop is the geometry's bounding window at raster resolution
+    # (snapped outward to the pixel lattice, so possibly one pixel larger)
+    assert masked.shape[0] in (100, 101) and masked.shape[1] in (100, 101)
+    assert set(np.unique(masked)) <= {0, 1, 255}
+    x0, y0 = tr * (0, 0)
+    assert np.isclose(x0, X0 + 1, atol=0.011) and np.isclose(y0, Y0 + 2, atol=0.011)
+    # everything inside the (rectangular) geometry is real data
+    assert (masked != 255).mean() > 0.95
+
+    # reprojection onto a coarser target grid
+    dst_transform = Affine(0.05, 0, X0 + 1, 0, -0.05, Y0 + 2)
+    out, _ = projected_mask(raster, geom, transform=dst_transform,
+                            shape=(20, 20), crs=4326)
+    assert out.shape == (20, 20)
+    assert set(np.unique(out)) <= {0, 1, 255}
+
+    # disjoint geometry: raises without the flag, all-nodata with it
+    far = box(X0 - 10, Y0 - 10, X0 - 9, Y0 - 9)
+    with pytest.raises(ValueError):
+        projected_mask(raster, far)
+    out, _ = projected_mask(raster, far, allow_no_overlap=True)
+    assert (out == 255).all()
+
+
+def test_maybe_swap_spatial_dims():
+    from atlite_tpu.gis import maybe_swap_spatial_dims
+
+    v = np.arange(12, dtype=float).reshape(3, 4)
+    da = DataArray(v, coords={"y": [2.0, 1.0, 0.0], "x": [0.0, 1.0, 2.0, 3.0]},
+                   dims=("y", "x"))
+    out = maybe_swap_spatial_dims(da)
+    assert list(out.coords["y"]) == [0.0, 1.0, 2.0]
+    np.testing.assert_array_equal(out.values, v[::-1])
+    # already ascending -> unchanged object
+    assert maybe_swap_spatial_dims(out) is out
+
+
 def test_gis_namespace_aliases():
     import atlite_tpu.gis as gis
 
