@@ -99,6 +99,19 @@ def average_downsample(masks, Wy, Wx):
     return num / den
 
 
+@partial(jax.jit, static_argnames=("row_tile",))
+def _block_partial(edges, emask, px, py_blk, excl_blk, Wy_blk, Wx,
+                   row_tile=64):
+    """Downsampled partial sums of one fine-row block: rasterize all shapes
+    on the block, AND with the exclusion mask, contract onto the cutout
+    lattice.  Module-level jit so repeated availability calls reuse the
+    compiled executable instead of retracing a fresh closure."""
+    fine = rasterize_shapes(edges, emask, px, py_blk, row_tile=row_tile)
+    fine = fine & ~excl_blk
+    return jnp.einsum("ab,sbc,dc->sad", Wy_blk, fine.astype(jnp.float32),
+                      Wx, preferred_element_type=jnp.float32)
+
+
 def availability_matrix_device(cutout, shapes_geoms, excluder,
                                shapes_crs=4326, row_tile=64,
                                max_device_pixels=64_000_000, mesh=None):
@@ -194,21 +207,15 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     row_block = max(row_tile, min(ny, max_device_pixels // max(S * nx, 1)))
     row_block = -(-row_block // row_tile) * row_tile
 
-    @partial(jax.jit, static_argnames=())
-    def block_partial(py_blk, excl_blk, Wy_blk):
-        fine = rasterize_shapes(edges_d, emask_d, px_d, py_blk,
-                                row_tile=row_tile)
-        fine = fine & ~excl_blk
-        return jnp.einsum("ab,sbc,dc->sad", Wy_blk, fine.astype(jnp.float32),
-                          Wx, preferred_element_type=jnp.float32)
-
     num = None
     for b0 in range(0, ny, row_block):
         b1 = min(b0 + row_block, ny)
-        part = block_partial(
+        part = _block_partial(
+            edges_d, emask_d, px_d,
             jnp.asarray(py[b0:b1]),
             jnp.asarray(exclusions[b0:b1]),
             jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
+            Wx, row_tile=row_tile,
         )
         num = part if num is None else num + part
     avail = np.asarray(num) / den[None]
