@@ -26,8 +26,11 @@ import scipy.sparse as sp
 
 from atlite_tpu.dataarray import DataArray
 
-# Below this many matrix entries a dense MXU matmul wins over gather+scatter.
-_DENSE_LIMIT = 4 * 1024 * 1024
+# Below this many matrix entries a dense MXU matmul wins outright (measured:
+# dense 3.5 ms vs banded 7.5 ms at 512x49k/25M entries; the banded path's
+# tile-gather overhead only pays off once dense stops fitting comfortably —
+# at 4096x200k banded is 2x faster than streamed dense and 18x smaller).
+_DENSE_LIMIT = 32 * 1024 * 1024
 
 
 def spdiag(v):
@@ -70,20 +73,38 @@ def spmm(matrix: sp.spmatrix, flat_tc):
     """Aggregate (T, C) cell series to (T, B) bus series with a host sparse
     matrix.
 
-    Small matrices densify onto the MXU; large ones use the block-sparse
-    path (ops/bsr_spmm) — dense tiles of the spatially-banded region
-    matrices contracted by MXU matmuls.  The gather-based segment-sum
-    (kept for reference/CPU) is never chosen on TPU: dynamic gathers
-    measured 100-500x slower than block matmuls there (PERF.md).
+    Small matrices densify onto the MXU.  Large matrices use the banded
+    path (ops/bsr_spmm.to_banded): rows sorted by column range, dense
+    row-block bands, whole-tile gather + batched MXU matmul — it exploits
+    the spatial locality of region matrices (each region's columns span a
+    narrow contiguous range in y-major cell order) without the
+    block-sparsity assumption, which measured terribly (BSR blocks are
+    <1% full because regions shatter into one strip per y-row).  When the
+    matrix has no band structure (W ~ C), fall back to dense matmul in
+    row chunks.  Element gathers (jnp.take/segment-sum) are never chosen
+    on TPU: measured 100-500x slower than block matmuls (PERF.md).
     """
     B, C = matrix.shape
     flat_tc = jnp.asarray(flat_tc)
     if B * C <= _DENSE_LIMIT:
         dense = jnp.asarray(matrix.toarray(), dtype=flat_tc.dtype)
         return _dense_spmm(flat_tc, dense)
-    from atlite_tpu.ops.bsr_spmm import bsr_spmm, to_bsr
 
-    return bsr_spmm(to_bsr(matrix), flat_tc)
+    from atlite_tpu.ops.bsr_spmm import banded_spmm, to_banded
+
+    banded = to_banded(matrix)
+    # banded beats dense when the band-block footprint is well below dense
+    if banded["nb"] * banded["block_b"] * banded["W"] <= (B * C) // 2:
+        return banded_spmm(banded, flat_tc)
+
+    # no exploitable band structure: dense matmul streamed over row chunks
+    row_chunk = max(1, _DENSE_LIMIT // C)
+    outs = []
+    for b0 in range(0, B, row_chunk):
+        dense = jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
+                            dtype=flat_tc.dtype)
+        outs.append(_dense_spmm(flat_tc, dense))
+    return jnp.concatenate(outs, axis=1)
 
 
 def aggregate_matrix(da, matrix, index=None, index_name="bus"):

@@ -129,6 +129,101 @@ def bsr_spmm_scan(bsr, flat_tc):
 
 
 # ---------------------------------------------------------------------------
+# Banded formulation — the production large-matrix path
+# ---------------------------------------------------------------------------
+def to_banded(matrix: sp.spmatrix, block_b=128, align=512):
+    """Convert a (B, C) sparse matrix to sorted dense row-block bands.
+
+    Region/cell matrices are spatially local, but in y-major flat cell
+    order each region shatters into one thin strip per y-row — so BSR
+    blocks are ~0.3% full and block-sparse tiling loses to dense matmul
+    outright (measured: every BSR variant 600-1300 ms where dense takes
+    ~2 ms at 512x49k).  What IS exploitable is that each region's nonzero
+    COLUMNS span a narrow contiguous range.  Sort rows by range start,
+    group into ``block_b`` row blocks, and store each block's columns
+    densely over the block's union range, padded to a common width W
+    aligned to ``align``:
+
+    - 'bands' (nb, block_b, W) float32 dense band blocks,
+    - 'tile_idx' (nb, W/align) int32 aligned field-tile indices,
+    - 'order'/'inverse' row permutations.
+
+    The contraction is then a whole-tile gather + one batched MXU matmul
+    (see banded_spmm) with B*W*T*2 flops instead of dense's B*C*T*2.
+    """
+    B, C = matrix.shape
+    csr = matrix.tocsr()
+    nb = -(-B // block_b)
+    B_pad = nb * block_b
+
+    c0 = np.zeros(B, dtype=np.int64)
+    c1 = np.ones(B, dtype=np.int64)
+    for r in range(B):
+        cols = csr.indices[csr.indptr[r]:csr.indptr[r + 1]]
+        if len(cols):
+            c0[r], c1[r] = cols.min(), cols.max() + 1
+    order = np.argsort(c0, kind="stable")
+    inverse = np.argsort(order)
+
+    starts = np.zeros(nb, dtype=np.int64)
+    ends = np.zeros(nb, dtype=np.int64)
+    for b in range(nb):
+        rows = order[b * block_b:(b + 1) * block_b]
+        starts[b] = (c0[rows].min() // align) * align
+        ends[b] = -(-c1[rows].max() // align) * align
+    W = int((ends - starts).max())
+    n_tiles = W // align
+
+    bands = np.zeros((nb, block_b, W), dtype=np.float32)
+    coo = csr.tocoo()
+    rpos = inverse[coo.row]  # position in sorted order
+    blk = rpos // block_b
+    bands[blk, rpos % block_b, coo.col - starts[blk]] = coo.data
+
+    C_pad = -(-max(C, int(ends.max())) // align) * align
+    tile_idx = (starts[:, None] // align
+                + np.arange(n_tiles)[None, :]).astype(np.int32)
+    return {
+        "bands": bands, "tile_idx": tile_idx,
+        "order": order, "inverse": inverse,
+        "B": B, "C": C, "C_pad": int(C_pad), "W": W,
+        "block_b": block_b, "align": align, "nb": nb,
+    }
+
+
+@partial(jax.jit, static_argnames=("align", "c_pad"))
+def _banded_spmm(flat_tc, bands, tile_idx, inverse, align, c_pad):
+    T = flat_tc.shape[0]
+    nb, bb, W = bands.shape
+    fb = jnp.pad(flat_tc.T, ((0, c_pad - flat_tc.shape[1]), (0, 0)))
+    fb = fb.reshape(-1, align, T)  # (C_pad/align, align, T)
+    g = fb[tile_idx]  # (nb, W/align, align, T) — whole-tile gather
+    g = g.reshape(nb, W, T)
+    out = jnp.einsum("nbw,nwt->nbt", bands, g,
+                     preferred_element_type=flat_tc.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(nb * bb, T)
+    return out[inverse]  # back to caller row order
+
+
+def banded_spmm(banded, flat_tc):
+    """Aggregate (T, C) -> (T, B) with a banded matrix (see to_banded)."""
+    flat_tc = jnp.asarray(flat_tc)
+    out = _banded_spmm(
+        flat_tc,
+        jnp.asarray(banded["bands"], dtype=flat_tc.dtype),
+        jnp.asarray(banded["tile_idx"]),
+        jnp.asarray(
+            np.pad(banded["inverse"],
+                   (0, banded["nb"] * banded["block_b"] - banded["B"]),
+                   constant_values=banded["nb"] * banded["block_b"] - 1)
+        ),
+        align=banded["align"], c_pad=banded["C_pad"],
+    )
+    return out[: banded["B"]].T
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
 def bsr_spmm_pallas(bsr, flat_tc, time_tile=256):

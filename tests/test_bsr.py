@@ -50,6 +50,68 @@ def test_bsr_pallas_interpret_matches_dense(case, monkeypatch):
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_banded_matches_dense(case):
+    m, flat, expected = case
+    banded = bs.to_banded(m, block_b=16, align=256)
+    out = np.asarray(bs.banded_spmm(banded, flat))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_banded_spatially_local():
+    """Geographically-sorted region matrix: narrow bands, exact result."""
+    rng = np.random.default_rng(3)
+    B, Y, X, T = 40, 32, 48, 17
+    C = Y * X
+    rows, cols, vals = [], [], []
+    for b in range(B):
+        y0 = rng.integers(0, Y - 5)
+        x0 = rng.integers(0, X - 5)
+        cc = (np.arange(y0, y0 + 5)[:, None] * X
+              + np.arange(x0, x0 + 5)[None, :]).ravel()
+        rows += [b] * len(cc)
+        cols += list(cc)
+        vals += list(rng.random(len(cc)))
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(B, C))
+    flat = rng.random((T, C)).astype(np.float32)
+    banded = bs.to_banded(m, block_b=8, align=128)
+    assert banded["W"] < C  # locality was actually exploited
+    out = np.asarray(bs.banded_spmm(banded, flat))
+    np.testing.assert_allclose(out, flat @ m.toarray().T.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_empty_rows_and_order():
+    m = sp.lil_matrix((5, 1000))
+    m[0, 900] = 3.0  # out-of-order band starts exercise the sort
+    m[2, 5] = 2.0
+    m = m.tocsr()
+    flat = np.ones((10, 1000), dtype=np.float32)
+    banded = bs.to_banded(m, block_b=2, align=128)
+    out = np.asarray(bs.banded_spmm(banded, flat))
+    assert out.shape == (10, 5)
+    np.testing.assert_allclose(out[:, 0], 3.0)
+    np.testing.assert_allclose(out[:, 1], 0.0)
+    np.testing.assert_allclose(out[:, 2], 2.0)
+    np.testing.assert_allclose(out[:, 3:], 0.0)
+
+
+def test_spmm_large_routes_banded():
+    """aggregate.spmm takes the banded path above the dense limit."""
+    from atlite_tpu import aggregate
+
+    rng = np.random.default_rng(4)
+    B, C, T = 64, 200_000, 7
+    rows = np.repeat(np.arange(B), 50)
+    cols = (np.arange(B)[:, None] * 3000
+            + rng.integers(0, 3000, (B, 50))).ravel() % C
+    m = sp.csr_matrix((np.ones(B * 50), (rows, cols)), shape=(B, C))
+    assert B * C > aggregate._DENSE_LIMIT
+    flat = rng.random((T, C)).astype(np.float32)
+    out = np.asarray(aggregate.spmm(m, flat))
+    np.testing.assert_allclose(out, flat @ m.toarray().T.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bsr_empty_rows():
     # regions with no cells must yield zero rows
     m = sp.csr_matrix((3, 1000))
