@@ -100,7 +100,7 @@ def test_spmm_large_routes_banded():
     from atlite_tpu import aggregate
 
     rng = np.random.default_rng(4)
-    B, C, T = 64, 200_000, 7
+    B, C, T = 256, 200_000, 7
     rows = np.repeat(np.arange(B), 50)
     cols = (np.arange(B)[:, None] * 3000
             + rng.integers(0, 3000, (B, 50))).ravel() % C
