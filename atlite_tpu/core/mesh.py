@@ -171,18 +171,30 @@ def sharded_regrid_bilinear(mesh, src_x, src_y, dst_x, dst_y, halo=None):
     return jax.jit(_regrid)
 
 
-def sharded_aggregate(mesh, matrix_dense):
+def sharded_aggregate(mesh, matrix_dense, shape=None):
     """Return a jitted (T,Y,X)->(T,B) bus aggregation for a dense matrix.
 
-    The matrix is replicated; the contraction over cells runs as local
-    partial matmuls + an XLA-inserted reduce over the "x" axis; the result
-    keeps its time sharding.
+    The contraction is expressed directly over the (y, x) plane —
+    ``einsum("tyx,byx->tb")`` — so the cell axis never has to be
+    re-materialized: with the field sharded P("t", None, "x") and the
+    matrix co-sharded P(None, None, "x") each device contracts its local
+    columns and XLA inserts one psum over the "x" axis (ICI); a
+    flatten-first formulation would instead force an all-to-all reshard
+    of the whole field.  ``matrix_dense`` is (B, Y*X) row-major over
+    (y, x) (the reference's stacked ordering) or (B, Y, X).
     """
+    matrix_dense = np.asarray(matrix_dense)
+    if matrix_dense.ndim == 2 and shape is not None:
+        matrix_dense = matrix_dense.reshape(matrix_dense.shape[0], *shape)
     out_spec = NamedSharding(mesh, P("t", None))
-    m_sharding = NamedSharding(mesh, P(None, None))
+    m_sharding = NamedSharding(mesh, P(None, None, "x")
+                               if matrix_dense.ndim == 3 else P(None, None))
 
     @partial(jax.jit, out_shardings=out_spec)
     def agg(field_tyx, matrix):
+        if matrix.ndim == 3:
+            return jnp.einsum("tyx,byx->tb", field_tyx, matrix,
+                              precision=jax.lax.Precision.HIGHEST)
         T = field_tyx.shape[0]
         flat = field_tyx.reshape(T, -1)
         return jnp.dot(flat, matrix.T,

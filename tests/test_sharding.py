@@ -78,6 +78,12 @@ def test_sharded_aggregate():
     expected = field.reshape(T, -1) @ m.T
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5)
 
+    # co-sharded einsum formulation (matrix reshaped onto the (y, x) plane)
+    agg3 = sharded_aggregate(mesh, m, shape=(Y, X))
+    with mesh:
+        out3 = agg3(jax.device_put(field, NamedSharding(mesh, field_spec())))
+    np.testing.assert_allclose(np.asarray(out3), expected, rtol=2e-5)
+
 
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
