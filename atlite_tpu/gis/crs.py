@@ -19,6 +19,8 @@ USGS PP 1395 (1987).
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import numpy as np
 
 # GRS80 ellipsoid (ETRS89); WGS84 differs by <1e-9 in flattening
@@ -33,106 +35,116 @@ LAEA_FE = 4321000.0
 LAEA_FN = 3210000.0
 
 
-def _q(sinphi):
+def _errstate(xp):
+    return (np.errstate(invalid="ignore", divide="ignore")
+            if xp is np else nullcontext())
+
+
+def _q(sinphi, xp=np):
     """Authalic q function (Snyder 3-12)."""
     return (1 - E2) * (
         sinphi / (1 - E2 * sinphi**2)
-        - (1 / (2 * E)) * np.log((1 - E * sinphi) / (1 + E * sinphi))
+        - (1 / (2 * E)) * xp.log((1 - E * sinphi) / (1 + E * sinphi))
     )
 
 
 _QP = _q(1.0)
 
 
-def _authalic_beta(phi):
-    return np.arcsin(np.clip(_q(np.sin(phi)) / _QP, -1, 1))
+def _authalic_beta(phi, xp=np):
+    return xp.arcsin(xp.clip(_q(xp.sin(phi), xp) / _QP, -1, 1))
 
 
-def laea_forward(lon, lat):
-    """lon/lat degrees -> EPSG:3035 x/y meters (Snyder 24-4..24-14)."""
-    lam = np.radians(lon)
-    phi = np.radians(lat)
-    beta = _authalic_beta(phi)
+def laea_forward(lon, lat, xp=np):
+    """lon/lat degrees -> EPSG:3035 x/y meters (Snyder 24-4..24-14).
+
+    All projection functions take ``xp`` (numpy or jax.numpy) so the same
+    closed-form math runs on host and, elementwise-fused, on device.
+    """
+    lam = xp.radians(lon)
+    phi = xp.radians(lat)
+    beta = _authalic_beta(phi, xp)
     beta1 = _authalic_beta(LAEA_LAT0)
     rq = A * np.sqrt(_QP / 2)
     d = A * np.cos(LAEA_LAT0) / (
         np.sqrt(1 - E2 * np.sin(LAEA_LAT0) ** 2) * rq * np.cos(beta1)
     )
-    coslam = np.cos(lam - LAEA_LON0)
-    sinlam = np.sin(lam - LAEA_LON0)
-    b = rq * np.sqrt(
-        2 / (1 + np.sin(beta1) * np.sin(beta) + np.cos(beta1) * np.cos(beta) * coslam)
+    coslam = xp.cos(lam - LAEA_LON0)
+    sinlam = xp.sin(lam - LAEA_LON0)
+    b = rq * xp.sqrt(
+        2 / (1 + np.sin(beta1) * xp.sin(beta) + np.cos(beta1) * xp.cos(beta) * coslam)
     )
-    x = b * d * np.cos(beta) * sinlam + LAEA_FE
+    x = b * d * xp.cos(beta) * sinlam + LAEA_FE
     y = (b / d) * (
-        np.cos(beta1) * np.sin(beta) - np.sin(beta1) * np.cos(beta) * coslam
+        np.cos(beta1) * xp.sin(beta) - np.sin(beta1) * xp.cos(beta) * coslam
     ) + LAEA_FN
     return x, y
 
 
-def laea_inverse(x, y):
+def laea_inverse(x, y, xp=np):
     """EPSG:3035 x/y meters -> lon/lat degrees (Snyder 24-15..24-21, 3-18)."""
-    x = np.asarray(x, dtype=float) - LAEA_FE
-    y = np.asarray(y, dtype=float) - LAEA_FN
+    dtype = float if xp is np else None
+    x = xp.asarray(x, dtype=dtype) - LAEA_FE
+    y = xp.asarray(y, dtype=dtype) - LAEA_FN
     beta1 = _authalic_beta(LAEA_LAT0)
     rq = A * np.sqrt(_QP / 2)
     d = A * np.cos(LAEA_LAT0) / (
         np.sqrt(1 - E2 * np.sin(LAEA_LAT0) ** 2) * rq * np.cos(beta1)
     )
-    rho = np.sqrt((x / d) ** 2 + (d * y) ** 2)
-    ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        beta = np.arcsin(
-            np.clip(
-                np.cos(ce) * np.sin(beta1) + (d * y * np.sin(ce) * np.cos(beta1)) / rho,
+    rho = xp.sqrt((x / d) ** 2 + (d * y) ** 2)
+    ce = 2 * xp.arcsin(xp.clip(rho / (2 * rq), -1, 1))
+    with _errstate(xp):
+        beta = xp.arcsin(
+            xp.clip(
+                np.sin(beta1) * xp.cos(ce) + (d * y * xp.sin(ce) * np.cos(beta1)) / rho,
                 -1, 1,
             )
         )
-        lam = LAEA_LON0 + np.arctan2(
-            x * np.sin(ce),
-            d * rho * np.cos(beta1) * np.cos(ce) - d**2 * y * np.sin(beta1) * np.sin(ce),
+        lam = LAEA_LON0 + xp.arctan2(
+            x * xp.sin(ce),
+            d * rho * np.cos(beta1) * xp.cos(ce) - d**2 * y * np.sin(beta1) * xp.sin(ce),
         )
-    beta = np.where(rho == 0, beta1, beta)
-    lam = np.where(rho == 0, LAEA_LON0, lam)
+    beta = xp.where(rho == 0, beta1, beta)
+    lam = xp.where(rho == 0, LAEA_LON0, lam)
     # authalic -> geodetic latitude series (Snyder 3-18)
     phi = beta + (
-        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * np.sin(2 * beta)
-        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * np.sin(4 * beta)
-        + (761 * E2**3 / 45360) * np.sin(6 * beta)
+        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * xp.sin(2 * beta)
+        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * xp.sin(4 * beta)
+        + (761 * E2**3 / 45360) * xp.sin(6 * beta)
     )
-    return np.degrees(lam), np.degrees(phi)
+    return xp.degrees(lam), xp.degrees(phi)
 
 
-def cea_forward(lon, lat):
+def cea_forward(lon, lat, xp=np):
     """Ellipsoidal cylindrical equal-area, std parallel 0 (Snyder 10-1/10-2):
     x = a*lam ; y = a*q/2.  Areas on this plane equal true ellipsoid area."""
-    lam = np.radians(lon)
-    phi = np.radians(lat)
-    return A * lam, A * _q(np.sin(phi)) / 2
+    lam = xp.radians(lon)
+    phi = xp.radians(lat)
+    return A * lam, A * _q(xp.sin(phi), xp) / 2
 
 
-def cea_inverse(x, y):
-    beta = np.arcsin(np.clip(2 * y / (A * _QP), -1, 1))
+def cea_inverse(x, y, xp=np):
+    beta = xp.arcsin(xp.clip(2 * xp.asarray(y) / (A * _QP), -1, 1))
     phi = beta + (
-        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * np.sin(2 * beta)
-        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * np.sin(4 * beta)
-        + (761 * E2**3 / 45360) * np.sin(6 * beta)
+        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * xp.sin(2 * beta)
+        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * xp.sin(4 * beta)
+        + (761 * E2**3 / 45360) * xp.sin(6 * beta)
     )
-    return np.degrees(np.asarray(x) / A), np.degrees(phi)
+    return xp.degrees(xp.asarray(x) / A), xp.degrees(phi)
 
 
-def mercator_forward(lon, lat):
+def mercator_forward(lon, lat, xp=np):
     """EPSG:3857 spherical web mercator."""
     r = 6378137.0
-    x = r * np.radians(lon)
-    y = r * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    x = r * xp.radians(lon)
+    y = r * xp.log(xp.tan(np.pi / 4 + xp.radians(lat) / 2))
     return x, y
 
 
-def mercator_inverse(x, y):
+def mercator_inverse(x, y, xp=np):
     r = 6378137.0
-    lon = np.degrees(np.asarray(x) / r)
-    lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y) / r)) - np.pi / 2)
+    lon = xp.degrees(xp.asarray(x) / r)
+    lat = xp.degrees(2 * xp.arctan(xp.exp(xp.asarray(y) / r)) - np.pi / 2)
     return lon, lat
 
 
@@ -170,3 +182,19 @@ def transform_points(x, y, src, dst):
     if dst != 4326:
         x, y = _FORWARD[dst](x, y)
     return np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+
+
+def transform_points_xp(x, y, src, dst, xp):
+    """transform_points with an explicit array namespace (jax.numpy for
+    on-device CRS math — the projections are elementwise closed forms, so
+    they fuse into the surrounding device kernel)."""
+    src, dst = normalize_crs(src), normalize_crs(dst)
+    if src == dst:
+        return x, y
+    if src not in _INVERSE or dst not in _FORWARD:
+        raise NotImplementedError(f"CRS transform {src} -> {dst} not supported")
+    if src != 4326:
+        x, y = _INVERSE[src](x, y, xp)
+    if dst != 4326:
+        x, y = _FORWARD[dst](x, y, xp)
+    return x, y

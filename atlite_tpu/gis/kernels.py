@@ -112,6 +112,71 @@ def _block_partial(edges, emask, px, py_blk, excl_blk, Wy_blk, Wx,
                       Wx, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("row_tile",))
+def _block_masks(edges, emask, px, py_blk, excl_blk, row_tile=64):
+    """Rasterize all shapes on a fine-row block and apply the exclusion
+    mask; returns the (S, rows, nx) bool masks (cross-CRS downsample path,
+    where the fine->cell mapping is not separable)."""
+    fine = rasterize_shapes(edges, emask, px, py_blk, row_tile=row_tile)
+    return fine & ~excl_blk
+
+
+@partial(jax.jit, static_argnames=(
+    "src_crs", "dst_crs", "NX", "NY", "bins", "row_tile", "chunk"))
+def _block_cells_crosscrs(edges, emask, px, py_blk, excl_blk, inv_affine,
+                          ri0, *, src_crs, dst_crs, NX, NY, bins,
+                          row_tile=64, chunk=131072):
+    """Cross-CRS fine-block contraction, entirely on device.
+
+    Rasterizes all shapes on the block, maps every pixel center to its
+    cutout cell with the closed-form CRS math (elementwise, fuses), and
+    contracts pixels onto the block's local cell window with a chunked
+    one-hot MXU matmul — 8.6x faster than segment_sum scatter on this
+    chip (PERF.md).  The local window is ``bins-1`` cells = the few
+    cutout rows the block can touch x NX (+1 overflow bin for pixels
+    outside); ``ri0`` is the window's first cutout row.
+
+    Returns (num (S, bins), cnt (bins,)) partial sums; exact: one-hot and
+    masks are 0/1 (exact in bf16), accumulation is f32 on the MXU.
+    """
+    from atlite_tpu.gis.crs import transform_points_xp
+
+    fine = rasterize_shapes(edges, emask, px, py_blk, row_tile=row_tile)
+    fine = fine & ~excl_blk  # (S, rows, nx)
+    S = fine.shape[0]
+
+    lon, lat = transform_points_xp(px[None, :], py_blk[:, None],
+                                   src_crs, dst_crs, jnp)
+    a, b, c, d, e, f = inv_affine
+    ci = jnp.floor(a * lon + b * lat + c).astype(jnp.int32)
+    ri = jnp.floor(d * lon + e * lat + f).astype(jnp.int32)
+    ok = ((ci >= 0) & (ci < NX) & (ri >= 0) & (ri < NY)
+          & (ri >= ri0) & (ri < ri0 + (bins - 1) // NX))
+    lid = jnp.where(ok, (ri - ri0) * NX + ci, bins - 1)  # (rows, nx)
+
+    npix = lid.size
+    pad = (-npix) % chunk
+    lid_f = jnp.pad(lid.reshape(-1), (0, pad), constant_values=bins - 1)
+    mask_f = jnp.pad(fine.reshape(S, -1), ((0, 0), (0, pad)))
+    n = lid_f.shape[0] // chunk
+    lid_c = lid_f.reshape(n, chunk)
+    mask_c = mask_f.astype(jnp.bfloat16).reshape(S, n, chunk).swapaxes(0, 1)
+
+    def body(acc, xs):
+        m, l = xs
+        oh = (l[:, None] == jnp.arange(bins)[None, :]).astype(jnp.bfloat16)
+        num = acc[0] + jnp.dot(m, oh, preferred_element_type=jnp.float32)
+        cnt = acc[1] + jnp.sum(oh.astype(jnp.float32), axis=0)
+        return (num, cnt), None
+
+    (num, cnt), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((S, bins), jnp.float32), jnp.zeros((bins,), jnp.float32)),
+        (mask_c, lid_c),
+    )
+    return num, cnt
+
+
 def availability_matrix_device(cutout, shapes_geoms, excluder,
                                shapes_crs=4326, row_tile=64,
                                max_device_pixels=64_000_000, mesh=None):
@@ -123,7 +188,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     of S×rows×nx boolean work at a time), accumulating the downsampled
     partial sums — scales to country-size 100 m lattices.
     """
-    from atlite_tpu.gis.crs import transform_points
+    from atlite_tpu.gis.crs import normalize_crs as _ncrs, transform_points
     from atlite_tpu.gis.exclusion import _as_geometry_list
     from atlite_tpu.gis.raster import (
         binary_dilation, overlap_matrix, padded_transform_and_shape,
@@ -145,31 +210,42 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     px = transform.c + transform.a * (np.arange(nx) + 0.5)
     py = transform.f + transform.e * (np.arange(ny) + 0.5)  # descending
 
-    # host-side: exclusion mask on the fine lattice (raster gathers + codes)
-    exclusions = np.zeros((ny, nx), dtype=bool)
-    for d in excluder.rasters:
-        r = d["raster"]
-        masked_r = reproject_nearest(r, transform, crs, (ny, nx),
-                                     nodata=d["nodata"])
-        if d["codes"] is not None:
-            sel = (np.asarray(d["codes"](masked_r)).astype(bool)
-                   if callable(d["codes"]) else np.isin(masked_r, d["codes"]))
-        else:
-            sel = masked_r.astype(bool)
-        if d["invert"]:
-            sel = ~sel
-        if d["buffer"]:
-            sel = binary_dilation(sel, iterations=int(d["buffer"] / res) + 1)
-        exclusions |= sel
-    geom_exclusion_shapes = []
-    for d in excluder.geometries:
-        from atlite_tpu.gis.raster import geometry_mask
+    # exclusion mask on the fine lattice (raster gathers + codes): built on
+    # host, uploaded ONCE per call, and cached on the excluder keyed by the
+    # lattice (the mask is shape-independent — repeated availability calls
+    # with the same excluder skip both the prep and the transfer)
+    cache_key = (tuple(transform), ny, nx,
+                 len(excluder.rasters), len(excluder.geometries))
+    cached = getattr(excluder, "_fine_mask_cache", None)
+    if cached is not None and cached[0] == cache_key:
+        excl_dev = cached[1]
+    else:
+        exclusions = np.zeros((ny, nx), dtype=bool)
+        for d in excluder.rasters:
+            r = d["raster"]
+            masked_r = reproject_nearest(r, transform, crs, (ny, nx),
+                                         nodata=d["nodata"])
+            if d["codes"] is not None:
+                sel = (np.asarray(d["codes"](masked_r)).astype(bool)
+                       if callable(d["codes"]) else np.isin(masked_r, d["codes"]))
+            else:
+                sel = masked_r.astype(bool)
+            if d["invert"]:
+                sel = ~sel
+            if d["buffer"]:
+                sel = binary_dilation(sel, iterations=int(d["buffer"] / res) + 1)
+            exclusions |= sel
+        for d in excluder.geometries:
+            from atlite_tpu.gis.raster import geometry_mask
 
-        inside = geometry_mask(d["geometry"], (ny, nx), transform, invert=True)
-        if d["buffer"]:
-            inside = binary_dilation(inside, iterations=int(d["buffer"] / res) + 1)
-        exclusions |= (~inside) if d["invert"] else inside
-    del geom_exclusion_shapes
+            inside = geometry_mask(d["geometry"], (ny, nx), transform,
+                                   invert=True)
+            if d["buffer"]:
+                inside = binary_dilation(inside,
+                                         iterations=int(d["buffer"] / res) + 1)
+            exclusions |= (~inside) if d["invert"] else inside
+        excl_dev = jnp.asarray(exclusions)
+        excluder._fine_mask_cache = (cache_key, excl_dev)
 
     # device: batched rasterization of the query shapes
     geoms = _as_geometry_list(shapes_geoms, shapes_crs, crs)
@@ -194,29 +270,85 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             emask_d = jax.device_put(
                 emask_d, NamedSharding(mesh, P(axes, None)))
 
-    tr = g.transform_r
-    Wx = jnp.asarray(
-        overlap_matrix(transform.c, transform.a, nx, tr.c, tr.a, g.shape[1]),
-        dtype=jnp.float32,
-    )
-    Wy_full = overlap_matrix(transform.f, transform.e, ny, tr.f, tr.e, g.shape[0])
-    den = (Wy_full.sum(axis=1)[:, None] * np.asarray(Wx).sum(axis=1)[None, :])
-
     # stream over fine-row blocks so device memory stays bounded at
     # S x row_block x nx regardless of the fine raster size
     row_block = max(row_tile, min(ny, max_device_pixels // max(S * nx, 1)))
     row_block = -(-row_block // row_tile) * row_tile
 
-    num = None
-    for b0 in range(0, ny, row_block):
-        b1 = min(b0 + row_block, ny)
-        part = _block_partial(
+    tr = g.transform_r
+    same_crs = _ncrs(crs) == _ncrs(cutout.crs)
+    NY, NX = g.shape
+
+    if same_crs:
+        # separable exact area-average: two overlap-matrix matmuls (MXU)
+        Wx = jnp.asarray(
+            overlap_matrix(transform.c, transform.a, nx, tr.c, tr.a, NX),
+            dtype=jnp.float32,
+        )
+        Wy_full = overlap_matrix(transform.f, transform.e, ny, tr.f, tr.e, NY)
+        den = (Wy_full.sum(axis=1)[:, None] * np.asarray(Wx).sum(axis=1)[None, :])
+
+        num = None
+        for b0 in range(0, ny, row_block):
+            b1 = min(b0 + row_block, ny)
+            part = _block_partial(
+                edges_d, emask_d, px_d,
+                jnp.asarray(py[b0:b1]),
+                excl_dev[b0:b1],
+                jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
+                Wx, row_tile=row_tile,
+            )
+            num = part if num is None else num + part
+        with np.errstate(invalid="ignore"):
+            avail = np.asarray(num) / den[None]
+        avail[:, den <= 0] = 0.0
+        return avail[:, ::-1]  # flip to ascending y
+
+    # cross-CRS (e.g. 100 m EPSG:3035 excluder onto a 4326 cutout): the
+    # fine->cell mapping is not separable, so every block's pixels map to
+    # cells via closed-form CRS math and contract through a one-hot MXU
+    # matmul — all on device (center-point scatter-mean, the same
+    # semantics as the host path's cross-CRS reproject_average).
+    ncell = NY * NX
+    num = np.zeros((S, ncell))
+    cnt = np.zeros(ncell)
+    inv = g.transform_r.inverse
+    inv_affine = jnp.asarray([inv.a, inv.b, inv.c, inv.d, inv.e, inv.f],
+                             dtype=jnp.float32)
+    src_key = _ncrs(crs)
+    dst_key = _ncrs(cutout.crs)
+
+    # per-block cutout-row windows from f64 boundary sampling (+margin);
+    # a common window height keeps the device kernel at one compilation
+    def block_rows(b0, b1):
+        xs = np.concatenate([px[::max(1, nx // 64)], px[-1:]])
+        ys = np.concatenate([py[b0:b1:max(1, (b1 - b0) // 16)], py[b1 - 1:b1]])
+        gx, gy = np.meshgrid(xs, ys)
+        cxs, cys = transform_points(gx.ravel(), gy.ravel(), crs, cutout.crs)
+        ri = np.floor(inv.d * cxs + inv.e * cys + inv.f)
+        return int(ri.min()) - 2, int(ri.max()) + 3
+
+    blocks = [(b0, min(b0 + row_block, ny)) for b0 in range(0, ny, row_block)]
+    windows = [block_rows(b0, b1) for b0, b1 in blocks]
+    yspan = max(hi - lo for lo, hi in windows)
+    bins = yspan * NX + 1
+
+    for (b0, b1), (lo, _) in zip(blocks, windows):
+        lo = max(min(lo, NY - yspan), 0) if NY > yspan else 0
+        num_b, cnt_b = _block_cells_crosscrs(
             edges_d, emask_d, px_d,
             jnp.asarray(py[b0:b1]),
-            jnp.asarray(exclusions[b0:b1]),
-            jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
-            Wx, row_tile=row_tile,
+            excl_dev[b0:b1],
+            inv_affine, jnp.int32(lo),
+            src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
+            row_tile=row_tile,
         )
-        num = part if num is None else num + part
-    avail = np.asarray(num) / den[None]
-    return avail[:, ::-1]  # flip to ascending y
+        n_rows = min(yspan, NY - lo)
+        sl = slice(lo * NX, (lo + n_rows) * NX)
+        num[:, sl] += np.asarray(num_b[:, : n_rows * NX])
+        cnt[sl] += np.asarray(cnt_b[: n_rows * NX])
+    with np.errstate(invalid="ignore"):
+        avail = num / cnt[None]
+    avail[:, cnt <= 0] = 0.0
+    avail = avail.reshape(S, NY, NX)
+    return avail[:, ::-1]

@@ -67,6 +67,44 @@ def test_availability_device_matches_host(cutout):
     np.testing.assert_allclose(dev.sum(), host.sum(), rtol=1e-3)
 
 
+def test_availability_device_cross_crs_matches_host(cutout):
+    """Excluder in EPSG:3035 (the production land-use setup) onto the 4326
+    cutout: the device path's scatter-mean downsample must agree with the
+    host reproject_average semantics."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.crs import transform_points
+    from atlite_tpu.gis.raster import Raster, padded_transform_and_shape
+
+    cx, cy = transform_points(np.array([X0 - 0.5, X0 - 0.5, X1 + 0.5, X1 + 0.5]),
+                              np.array([Y0 - 0.5, Y1 + 0.5, Y0 - 0.5, Y1 + 0.5]),
+                              4326, 3035)
+    tr, (ny, nx) = padded_transform_and_shape(
+        (cx.min(), cy.min(), cx.max(), cy.max()), 4000.0)
+    rng = np.random.default_rng(1)
+    raster = Raster((rng.random((ny, nx)) < 0.3).astype(np.int32), tr,
+                    crs=3035, nodata=255)
+    shapes = pd.Series([
+        box(X0 + 1, Y0 + 1, X1 - 1, Y0 / 2 + Y1 / 2),
+        box(X0 + 1, Y0 / 2 + Y1 / 2, X1 - 1, Y1 - 1),
+    ]).rename_axis("shape")
+
+    excluder = ExclusionContainer(3035, res=4000.0)
+    excluder.add_raster(raster)
+    host = np.asarray(cutout.availabilitymatrix(shapes, excluder).values)
+
+    excluder2 = ExclusionContainer(3035, res=4000.0)
+    excluder2.add_raster(raster)
+    dev = availability_matrix_device(cutout, list(shapes.values), excluder2)
+
+    assert dev.shape == host.shape
+    assert np.isfinite(dev).all()
+    # different (whole-extent vs per-shape-padded) fine lattices -> close,
+    # not bitwise
+    assert abs(dev.sum() - host.sum()) / host.sum() < 0.05
+    np.testing.assert_allclose(dev.mean(axis=(1, 2)), host.mean(axis=(1, 2)),
+                               rtol=0.05)
+
+
 def test_availability_device_geometry_exclusion(cutout):
     shapes = [box(X0, Y0, X1, Y1)]
     exclude = [box(X0 / 2 + X1 / 2, Y0 / 2 + Y1 / 2, X1, Y1)]
