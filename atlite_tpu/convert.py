@@ -250,11 +250,17 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
         )
     T = len(cutout.grid_desc.time)
     pieces = []
+    prev = None
     for t0 in range(0, T, time_chunk):
         sub = cutout.isel_time(t0, min(t0 + time_chunk, T))
-        da = convert_func(sub, **convert_kwds)
-        pieces.append(np.asarray(da.values))
+        da = convert_func(sub, **convert_kwds)  # async XLA dispatch
+        if prev is not None:
+            # sync the PREVIOUS chunk only now — its readback overlaps the
+            # current chunk's staging + compute (one-deep pipeline)
+            pieces.append(np.asarray(prev.values))
+        prev = da
         template = da
+    pieces.append(np.asarray(prev.values))
     values = np.concatenate(pieces, axis=0)
     return DataArray(
         values,

@@ -114,9 +114,14 @@ def power_curve(wind_speed, V, POW, P):
     POWn = jnp.asarray(POW) / P
     x = wind_speed[..., None]
     left, right = V[:-1], V[1:]
+    # per-segment reciprocal width and slope are (K,) loop invariants —
+    # precompute them so the per-pixel work is add/mul only (a per-pixel
+    # divide costs ~10 VPU slots and XLA keeps division rounding intact,
+    # so it would not strength-reduce it on its own)
+    inv_dv = 1.0 / jnp.where(right == left, 1.0, right - left)
+    slope = (POWn[1:] - POWn[:-1]) * inv_dv
     inseg = (x > left) & (x <= right)
-    w = (x - left) / jnp.where(right == left, 1.0, right - left)
-    val = POWn[:-1] * (1 - w) + POWn[1:] * w
+    val = POWn[:-1] + (x - left) * slope
     out = jnp.sum(jnp.where(inseg, val, 0.0), axis=-1)
     # clamp outside the curve like np.interp
     return out + (wind_speed <= V[0]) * POWn[0] + (wind_speed > V[-1]) * POWn[-1]
