@@ -131,7 +131,7 @@ def bsr_spmm_scan(bsr, flat_tc):
 # ---------------------------------------------------------------------------
 # Banded formulation — the production large-matrix path
 # ---------------------------------------------------------------------------
-def to_banded(matrix: sp.spmatrix, block_b=128, align=512):
+def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
     """Convert a (B, C) sparse matrix to sorted dense row-block bands.
 
     Region/cell matrices are spatially local, but in y-major flat cell
@@ -172,6 +172,11 @@ def to_banded(matrix: sp.spmatrix, block_b=128, align=512):
         starts[b] = (c0[rows].min() // align) * align
         ends[b] = -(-c1[rows].max() // align) * align
     W = int((ends - starts).max())
+    if force_w is not None:
+        # common band width across shards (sharded aggregation); gathers
+        # past C_pad clamp to the last tile and meet zero band entries
+        assert force_w % align == 0 and force_w >= W
+        W = force_w
     n_tiles = W // align
 
     bands = np.zeros((nb, block_b, W), dtype=np.float32)

@@ -85,6 +85,39 @@ def test_sharded_aggregate():
     np.testing.assert_allclose(np.asarray(out3), expected, rtol=2e-5)
 
 
+def test_sharded_aggregate_banded():
+    """Distributed banded spmm (per-shard column bands + one psum) equals
+    the single-device contraction."""
+    import scipy.sparse as sp
+
+    from atlite_tpu.core.mesh import make_mesh, sharded_aggregate_banded
+
+    mesh = make_mesh(jax.devices()[:8])
+    T = 4 * mesh.shape["t"]
+    Y, X, B = 16, 8 * mesh.shape["x"], 21
+    rng = np.random.default_rng(1)
+    field = rng.random((T, Y, X)).astype(np.float32)
+    # spatially local regions (3x3 rectangles), some empty rows
+    rows, cols, vals = [], [], []
+    for b in range(B - 1):
+        y0 = rng.integers(0, Y - 3)
+        x0 = rng.integers(0, X - 3)
+        cc = (np.arange(y0, y0 + 3)[:, None] * X
+              + np.arange(x0, x0 + 3)[None, :]).ravel()
+        rows += [b] * len(cc)
+        cols += list(cc)
+        vals += list(rng.random(len(cc)))
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(B, Y * X))
+
+    agg = sharded_aggregate_banded(mesh, m, Y, X, block_b=8, align=32)
+    with mesh:
+        out = agg(jax.device_put(
+            field, NamedSharding(mesh, field_spec())))
+    expected = field.reshape(T, -1) @ m.toarray().T
+    assert np.asarray(out).shape == (T, B)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5, atol=1e-5)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
