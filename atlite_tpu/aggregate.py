@@ -90,12 +90,15 @@ def spmm(matrix: sp.spmatrix, flat_tc):
         dense = jnp.asarray(matrix.toarray(), dtype=flat_tc.dtype)
         return _dense_spmm(flat_tc, dense)
 
-    from atlite_tpu.ops.bsr_spmm import banded_spmm, to_banded
+    from atlite_tpu.ops.bsr_spmm import banded_spmm, banded_width, to_banded
 
-    banded = to_banded(matrix)
-    # banded beats dense when the band-block footprint is well below dense
-    if banded["nb"] * banded["block_b"] * banded["W"] <= (B * C) // 2:
-        return banded_spmm(banded, flat_tc)
+    matrix = matrix.tocsr()
+    # route on the cheap O(nnz) width probe BEFORE materializing bands —
+    # for unbanded matrices the band blocks would be ~B*C host floats
+    nb, W = banded_width(matrix)
+    block_b = 128
+    if nb * block_b * W <= (B * C) // 2:
+        return banded_spmm(to_banded(matrix, force_w=W or None), flat_tc)
 
     # no exploitable band structure: dense matmul streamed over row chunks
     row_chunk = max(1, _DENSE_LIMIT // C)

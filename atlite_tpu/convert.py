@@ -238,10 +238,12 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
 
     For cutouts whose field tensors exceed HBM, each chunk's fields are
     staged to the device, converted, and the result pulled back to host
-    memory — the device holds only one chunk at a time (the streaming
-    analog of the reference's dask time-chunking, cutout.py:143).  Only
-    valid for time-local converters (everything except the daily-resample
-    demand converters).
+    memory (the streaming analog of the reference's dask time-chunking,
+    cutout.py:143).  The readback is pipelined one chunk deep: while chunk
+    k computes, chunk k-1's result transfers out — so peak device memory
+    is one chunk's fields plus (at most) two chunk results; size
+    ``time_chunk`` accordingly.  Only valid for time-local converters
+    (everything except the daily-resample demand converters).
     """
     if convert_func in (convert_heat_demand, convert_cooling_demand):
         raise ValueError(

@@ -187,7 +187,7 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
     import scipy.sparse as sp
     from jax import shard_map
 
-    from atlite_tpu.ops.bsr_spmm import to_banded
+    from atlite_tpu.ops.bsr_spmm import banded_width, to_banded
 
     nxs = mesh.shape["x"]
     B = matrix.shape[0]
@@ -200,9 +200,9 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
         cols = (np.arange(Y)[:, None] * X
                 + s * xloc + np.arange(xloc)[None, :]).ravel()
         shards.append(csc[:, cols])
-    pre = [to_banded(m, block_b=block_b, align=align) for m in shards]
-    W = max(b["W"] for b in pre)
-    W = -(-W // align) * align
+    # common band width from the cheap probe (no double band materialization)
+    W = max(banded_width(m, block_b=block_b, align=align)[1] for m in shards)
+    W = max(-(-W // align) * align, align)
     banded = [to_banded(m, block_b=block_b, align=align, force_w=W)
               for m in shards]
     c_pad = max(b["C_pad"] for b in banded)

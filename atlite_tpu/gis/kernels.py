@@ -94,7 +94,8 @@ def average_downsample(masks, Wy, Wx):
     separable overlap matrices (two MXU matmuls per shape batch)."""
     m = masks.astype(jnp.float32)
     num = jnp.einsum("ab,sbc,dc->sad", Wy, m, Wx,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     den = (Wy.sum(axis=1)[:, None] * Wx.sum(axis=1)[None, :])[None]
     return num / den
 
@@ -108,8 +109,11 @@ def _block_partial(edges, emask, px, py_blk, excl_blk, Wy_blk, Wx,
     compiled executable instead of retracing a fresh closure."""
     fine = rasterize_shapes(edges, emask, px, py_blk, row_tile=row_tile)
     fine = fine & ~excl_blk
+    # HIGHEST: the Wy/Wx overlap weights are fractional — default MXU bf16
+    # truncation would break host-path equivalence (CLAUDE.md rule)
     return jnp.einsum("ab,sbc,dc->sad", Wy_blk, fine.astype(jnp.float32),
-                      Wx, preferred_element_type=jnp.float32)
+                      Wx, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("row_tile",))
@@ -150,8 +154,11 @@ def _block_cells_crosscrs(edges, emask, px, py_blk, excl_blk, inv_affine,
     a, b, c, d, e, f = inv_affine
     ci = jnp.floor(a * lon + b * lat + c).astype(jnp.int32)
     ri = jnp.floor(d * lon + e * lat + f).astype(jnp.int32)
-    ok = ((ci >= 0) & (ci < NX) & (ri >= 0) & (ri < NY)
-          & (ri >= ri0) & (ri < ri0 + (bins - 1) // NX))
+    in_cut = (ci >= 0) & (ci < NX) & (ri >= 0) & (ri < NY)
+    ok = in_cut & (ri >= ri0) & (ri < ri0 + (bins - 1) // NX)
+    # pixels inside the cutout but outside the sampled row window would be
+    # silently lost — count them so the caller can fall back exactly
+    dropped = jnp.sum(in_cut & ~ok)
     lid = jnp.where(ok, (ri - ri0) * NX + ci, bins - 1)  # (rows, nx)
 
     npix = lid.size
@@ -174,7 +181,7 @@ def _block_cells_crosscrs(edges, emask, px, py_blk, excl_blk, inv_affine,
         (jnp.zeros((S, bins), jnp.float32), jnp.zeros((bins,), jnp.float32)),
         (mask_c, lid_c),
     )
-    return num, cnt
+    return num, cnt, dropped
 
 
 def availability_matrix_device(cutout, shapes_geoms, excluder,
@@ -200,12 +207,18 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     crs = excluder.crs
     res = excluder.res
 
-    # fine lattice covering the cutout extent, snapped to the res lattice
+    # fine lattice covering the cutout extent, snapped to the res lattice.
+    # Sample the extent BOUNDARY densely, not just the corners: under a
+    # curved CRS (e.g. 4326 -> LAEA) an edge's extremum lies mid-edge, and
+    # corner-only bounds would clip fine pixels off boundary cells.
     g = cutout.grid_desc
-    corners_x = np.array([g.extent[0], g.extent[0], g.extent[1], g.extent[1]])
-    corners_y = np.array([g.extent[2], g.extent[3], g.extent[2], g.extent[3]])
-    cx, cy = transform_points(corners_x, corners_y, cutout.crs, crs)
-    bounds = (cx.min(), cy.min(), cx.max(), cy.max())
+    x0, x1, y0, y1 = g.extent
+    exs = np.linspace(x0, x1, 65)
+    eys = np.linspace(y0, y1, 65)
+    edge_x = np.concatenate([exs, exs, np.full(65, x0), np.full(65, x1)])
+    edge_y = np.concatenate([np.full(65, y0), np.full(65, y1), eys, eys])
+    cx, cy = transform_points(edge_x, edge_y, cutout.crs, crs)
+    bounds = (cx.min() - res, cy.min() - res, cx.max() + res, cy.max() + res)
     transform, (ny, nx) = padded_transform_and_shape(bounds, res)
     px = transform.c + transform.a * (np.arange(nx) + 0.5)
     py = transform.f + transform.e * (np.arange(ny) + 0.5)  # descending
@@ -214,8 +227,20 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     # host, uploaded ONCE per call, and cached on the excluder keyed by the
     # lattice (the mask is shape-independent — repeated availability calls
     # with the same excluder skip both the prep and the transfer)
-    cache_key = (tuple(transform), ny, nx,
-                 len(excluder.rasters), len(excluder.geometries))
+    def _codes_key(codes):
+        if codes is None:
+            return None
+        if callable(codes):
+            return ("fn", id(codes))
+        return tuple(np.atleast_1d(codes).tolist())
+
+    cache_key = (
+        tuple(transform), ny, nx,
+        tuple((id(d["raster"]), _codes_key(d["codes"]), d["buffer"],
+               d["invert"], d["nodata"]) for d in excluder.rasters),
+        tuple((id(d["geometry"]), d["buffer"], d["invert"])
+              for d in excluder.geometries),
+    )
     cached = getattr(excluder, "_fine_mask_cache", None)
     if cached is not None and cached[0] == cache_key:
         excl_dev = cached[1]
@@ -335,7 +360,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
 
     for (b0, b1), (lo, _) in zip(blocks, windows):
         lo = max(min(lo, NY - yspan), 0) if NY > yspan else 0
-        num_b, cnt_b = _block_cells_crosscrs(
+        num_b, cnt_b, dropped = _block_cells_crosscrs(
             edges_d, emask_d, px_d,
             jnp.asarray(py[b0:b1]),
             excl_dev[b0:b1],
@@ -343,6 +368,32 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
             row_tile=row_tile,
         )
+        if int(dropped) > 0:
+            # the sampled row window missed in-cutout pixels (extreme
+            # projection curvature) — redo this block with the exact host
+            # scatter so nothing is silently lost
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cross-CRS availability: row window missed %d pixels in "
+                "block %d:%d; falling back to host scatter for it",
+                int(dropped), b0, b1,
+            )
+            fine = np.asarray(_block_masks(
+                edges_d, emask_d, px_d, jnp.asarray(py[b0:b1]),
+                excl_dev[b0:b1], row_tile=row_tile))
+            gx, gy = np.meshgrid(px, py[b0:b1])
+            cxs, cys = transform_points(gx.ravel(), gy.ravel(),
+                                        crs, cutout.crs)
+            ci = np.floor(inv.a * cxs + inv.b * cys + inv.c).astype(np.int64)
+            ri = np.floor(inv.d * cxs + inv.e * cys + inv.f).astype(np.int64)
+            okm = (ci >= 0) & (ci < NX) & (ri >= 0) & (ri < NY)
+            cid = ri[okm] * NX + ci[okm]
+            cnt += np.bincount(cid, minlength=ncell)
+            flat = fine.reshape(S, -1)[:, okm]
+            for s in range(S):
+                num[s] += np.bincount(cid, weights=flat[s], minlength=ncell)
+            continue
         n_rows = min(yspan, NY - lo)
         sl = slice(lo * NX, (lo + n_rows) * NX)
         num[:, sl] += np.asarray(num_b[:, : n_rows * NX])

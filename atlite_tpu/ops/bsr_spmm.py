@@ -131,6 +131,30 @@ def bsr_spmm_scan(bsr, flat_tc):
 # ---------------------------------------------------------------------------
 # Banded formulation — the production large-matrix path
 # ---------------------------------------------------------------------------
+def banded_width(matrix: sp.spmatrix, block_b=128, align=512):
+    """(nb, W) of the banded representation WITHOUT materializing bands —
+    cheap O(nnz) pass so callers can route dense-vs-banded before paying
+    the O(nb*block_b*W) band allocation (which is ~B*C for unbanded
+    matrices — crash-scale at country size)."""
+    B, C = matrix.shape
+    csr = matrix.tocsr()
+    nb = -(-B // block_b)
+    c0 = np.zeros(B, dtype=np.int64)
+    c1 = np.ones(B, dtype=np.int64)
+    for r in range(B):
+        cols = csr.indices[csr.indptr[r]:csr.indptr[r + 1]]
+        if len(cols):
+            c0[r], c1[r] = cols.min(), cols.max() + 1
+    order = np.argsort(c0, kind="stable")
+    W = 0
+    for b in range(nb):
+        rows = order[b * block_b:(b + 1) * block_b]
+        lo = (c0[rows].min() // align) * align
+        hi = -(-c1[rows].max() // align) * align
+        W = max(W, int(hi - lo))
+    return nb, W
+
+
 def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
     """Convert a (B, C) sparse matrix to sorted dense row-block bands.
 

@@ -99,12 +99,36 @@ def test_spmm_large_routes_banded():
     """aggregate.spmm takes the banded path above the dense limit."""
     from atlite_tpu import aggregate
 
+    from atlite_tpu.ops.bsr_spmm import banded_width
+
     rng = np.random.default_rng(4)
     B, C, T = 256, 200_000, 7
     rows = np.repeat(np.arange(B), 50)
-    cols = (np.arange(B)[:, None] * 3000
-            + rng.integers(0, 3000, (B, 50))).ravel() % C
+    # clip (not wrap) so every row's columns stay a narrow local range —
+    # a %C wrap would give two rows full-width bands and defeat the routing
+    cols = np.minimum(np.arange(B)[:, None] * 700
+                      + rng.integers(0, 3000, (B, 50)), C - 1).ravel()
     m = sp.csr_matrix((np.ones(B * 50), (rows, cols)), shape=(B, C))
+    assert B * C > aggregate._DENSE_LIMIT
+    nb, W = banded_width(m)
+    assert nb * 128 * W <= (B * C) // 2  # really takes the banded path
+    flat = rng.random((T, C)).astype(np.float32)
+    out = np.asarray(aggregate.spmm(m, flat))
+    np.testing.assert_allclose(out, flat @ m.toarray().T.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_unbanded_routes_dense_chunks():
+    """A large matrix with no band structure takes the streamed-dense
+    fallback (and COO input is accepted)."""
+    from atlite_tpu import aggregate
+
+    rng = np.random.default_rng(5)
+    B, C, T = 90, 400_000, 3
+    rows = np.repeat(np.arange(B), 20)
+    cols = rng.integers(0, C, B * 20)  # full-width rows
+    m = sp.coo_matrix(
+        (np.ones(B * 20, dtype=np.float32), (rows, cols)), shape=(B, C))
     assert B * C > aggregate._DENSE_LIMIT
     flat = rng.random((T, C)).astype(np.float32)
     out = np.asarray(aggregate.spmm(m, flat))

@@ -105,6 +105,25 @@ def test_availability_device_cross_crs_matches_host(cutout):
                                rtol=0.05)
 
 
+def test_availability_device_cache_invalidation(cutout):
+    """Changing a raster's codes in place must not reuse the cached
+    exclusion mask."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.raster import Raster
+
+    rng = np.random.default_rng(2)
+    tr = Affine(0.05, 0, X0 - 0.2, 0, -0.05, Y1 + 0.2)
+    raster = Raster(rng.integers(0, 4, (120, 120)).astype(np.int32), tr,
+                    crs=4326, nodata=255)
+    shapes = [box(X0 + 1, Y0 + 1, X0 + 3, Y0 + 3)]
+    exc = ExclusionContainer(4326, res=0.05)
+    exc.add_raster(raster, codes=[1])
+    a1 = availability_matrix_device(cutout, shapes, exc)
+    exc.rasters[0]["codes"] = [1, 2, 3]  # in-place mutation
+    a2 = availability_matrix_device(cutout, shapes, exc)
+    assert a2.sum() < a1.sum()  # more exclusion -> less availability
+
+
 def test_availability_device_geometry_exclusion(cutout):
     shapes = [box(X0, Y0, X1, Y1)]
     exclude = [box(X0 / 2 + X1 / 2, Y0 / 2 + Y1 / 2, X1, Y1)]
