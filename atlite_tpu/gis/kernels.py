@@ -358,9 +358,12 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     yspan = max(hi - lo for lo, hi in windows)
     bins = yspan * NX + 1
 
+    # dispatch every block first (async), THEN read back — checking the
+    # dropped counter eagerly would force one device sync per block
+    pending = []
     for (b0, b1), (lo, _) in zip(blocks, windows):
         lo = max(min(lo, NY - yspan), 0) if NY > yspan else 0
-        num_b, cnt_b, dropped = _block_cells_crosscrs(
+        out_b = _block_cells_crosscrs(
             edges_d, emask_d, px_d,
             jnp.asarray(py[b0:b1]),
             excl_dev[b0:b1],
@@ -368,6 +371,9 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
             row_tile=row_tile,
         )
+        pending.append(((b0, b1), lo, out_b))
+
+    for (b0, b1), lo, (num_b, cnt_b, dropped) in pending:
         if int(dropped) > 0:
             # the sampled row window missed in-cutout pixels (extreme
             # projection curvature) — redo this block with the exact host
