@@ -281,9 +281,33 @@ def reproject_average(src: Raster, dst_transform, dst_crs, dst_shape,
 def reproject_nearest(src: Raster, dst_transform, dst_crs, dst_shape,
                       nodata=None):
     """Nearest-neighbour resampling: destination pixel centers gather the
-    enclosing source pixel's value (rasterio Resampling.nearest)."""
+    enclosing source pixel's value (rasterio Resampling.nearest).
+
+    Fast path: same CRS, same pixel size, integer-aligned origins reduce
+    to a pure slice/pad — the common availability case (exclusion raster
+    already at the excluder's res/crs) skips the 2x transform + gather
+    over every destination pixel entirely.
+    """
     nodata = src.nodata if nodata is None else nodata
     rows, cols = dst_shape
+
+    st, dt = src.transform, dst_transform
+    if (normalize_crs(src.crs) == normalize_crs(dst_crs)
+            and st.b == 0 and st.d == 0 and dt.b == 0 and dt.d == 0
+            and st.a == dt.a and st.e == dt.e and st.a != 0 and st.e != 0):
+        off_c = (dt.c - st.c) / st.a
+        off_r = (dt.f - st.f) / st.e
+        if (abs(off_c - round(off_c)) < 1e-9 and
+                abs(off_r - round(off_r)) < 1e-9):
+            c0, r0 = int(round(off_c)), int(round(off_r))
+            out = np.full(dst_shape, nodata,
+                          dtype=np.asarray(src.data).dtype)
+            sr0, sr1 = max(r0, 0), min(r0 + rows, src.shape[0])
+            sc0, sc1 = max(c0, 0), min(c0 + cols, src.shape[1])
+            if sr0 < sr1 and sc0 < sc1:
+                out[sr0 - r0:sr1 - r0, sc0 - c0:sc1 - c0] = \
+                    np.asarray(src.data)[sr0:sr1, sc0:sc1]
+            return out
     cc, rr = np.meshgrid(np.arange(cols) + 0.5, np.arange(rows) + 0.5)
     x = dst_transform.a * cc + dst_transform.b * rr + dst_transform.c
     y = dst_transform.d * cc + dst_transform.e * rr + dst_transform.f

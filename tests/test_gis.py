@@ -345,6 +345,24 @@ def test_regrid_descending_coords():
     np.testing.assert_allclose(r2.values, r1.values)
 
 
+def test_reproject_nearest_aligned_fast_path(raster):
+    """Same-CRS integer-aligned nearest projection (slice/pad fast path)
+    equals the general gather path, including out-of-bounds nodata fill."""
+    from atlite_tpu.gis.raster import reproject_nearest
+
+    st = raster.transform
+    # target window shifted by whole pixels, partially outside the raster
+    dst_transform = Affine(st.a, 0, st.c - 7 * st.a, 0, st.e, st.f - 3 * st.e)
+    dst_shape = (200, 150)
+    fast = reproject_nearest(raster, dst_transform, raster.crs, dst_shape)
+    # force the general path with an epsilon-offset origin (not aligned)
+    eps = st.a * 1e-4
+    near = Affine(st.a, 0, dst_transform.c + eps, 0, st.e, dst_transform.f + eps)
+    general = reproject_nearest(raster, near, raster.crs, dst_shape)
+    np.testing.assert_array_equal(fast, general)
+    assert (fast == raster.nodata).any()  # out-of-bounds filled
+
+
 def test_projected_mask(raster):
     """Crop-to-geometry + nodata-outside + reprojection path (reference
     gis.py:197-230)."""
