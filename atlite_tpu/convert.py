@@ -621,10 +621,13 @@ def hydro(cutout, plants, hydrobasins, flowspeed=1, weight_with_height=False,
 # ---------------------------------------------------------------------------
 # dynamic line rating (convert.py:1152-1367)
 # ---------------------------------------------------------------------------
-def convert_line_rating(ds, psi, R, D=0.028, Ts=373, epsilon=0.6, alpha=0.6):
+def convert_line_rating(ds, psi, R, D=0.028, Ts=373, epsilon=0.6, alpha=0.6,
+                        per_unit=False):
     """Single-line ampacity from a dict of per-cell arrays; mirrors the
     reference signature for the IEEE-738 validation case
-    (convert.py:1152-1252)."""
+    (convert.py:1152-1252).  ``per_unit`` is accepted for signature parity;
+    the reference declares but never uses it (convert.py:1153)."""
+    del per_unit
     imax = lr_kernels.ampacity(ds, psi, R, D, Ts, epsilon, alpha)
     return imax
 

@@ -256,10 +256,22 @@ class Cutout:
         self._fields_cache = None
 
     # ---------------------------------------------------------- preparation
-    def prepare(self, features=None, tmpdir=None, overwrite=False, **params):
+    def prepare(self, features=None, tmpdir=None, data_format=None,
+                overwrite=False, compression=None, show_progress=False,
+                dask_kwargs=None, monthly_requests=False,
+                concurrent_requests=False, **params):
         """Fetch missing features from the cutout's dataset module(s)
         (reference data.py:133-274): per-feature diff-and-resume, then an
-        atomic store rewrite."""
+        atomic store rewrite.
+
+        ``data_format``, ``compression`` and ``dask_kwargs`` are accepted
+        for reference-signature parity: the .atc store has one (raw-array)
+        format and no dask layer; ``monthly_requests`` /
+        ``concurrent_requests`` forward to retrieval-backed modules
+        (datasets/era5.retrieval_times)."""
+        del data_format, compression, dask_kwargs, show_progress
+        params.setdefault("monthly_requests", monthly_requests)
+        params.setdefault("concurrent_requests", concurrent_requests)
         if self.prepared and not overwrite:
             logger.info("Cutout already prepared.")
             return self

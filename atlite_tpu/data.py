@@ -71,9 +71,15 @@ def get_features(cutout, module, features, tmpdir=None, **params):
     return out
 
 
-def cutout_prepare(cutout, features=None, tmpdir=None, overwrite=False,
-                   **params):
+def cutout_prepare(cutout, features=None, tmpdir=None, data_format=None,
+                   overwrite=False, compression=None, show_progress=False,
+                   dask_kwargs=None, monthly_requests=False,
+                   concurrent_requests=False, **params):
     """Prepare a cutout (reference data.py:133-274); delegates to
     Cutout.prepare, which implements the same resume semantics."""
     return cutout.prepare(features=features, tmpdir=tmpdir,
-                          overwrite=overwrite, **params)
+                          data_format=data_format, overwrite=overwrite,
+                          compression=compression, show_progress=show_progress,
+                          dask_kwargs=dask_kwargs,
+                          monthly_requests=monthly_requests,
+                          concurrent_requests=concurrent_requests, **params)
