@@ -118,6 +118,64 @@ def bench_availability():
     return round(npix / dt / 1e6, 1)
 
 
+def bench_banded_agg():
+    """Large-matrix (beyond-dense-limit) aggregation: banded spmm ms/step."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from jax import lax
+
+    from atlite_tpu.ops.bsr_spmm import to_banded, _banded_spmm
+
+    B, Y, X, T = 2048, 192, 256, 336
+    C = Y * X
+    rng = np.random.default_rng(0)
+    rows, cols, vals = [], [], []
+    for b in range(B):
+        y0 = int(rng.integers(0, Y - 8))
+        x0 = int(rng.integers(0, X - 8))
+        cc = (np.arange(y0, y0 + 8)[:, None] * X
+              + np.arange(x0, x0 + 8)[None, :]).ravel()
+        rows += [b] * len(cc)
+        cols += list(cc)
+        vals += list(rng.random(len(cc)))
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(B, C))
+    banded = to_banded(m)
+    flat = jnp.asarray(rng.random((T, C), dtype=np.float32))
+    bands = jnp.asarray(banded["bands"])
+    tidx = jnp.asarray(banded["tile_idx"])
+    inv = jnp.asarray(np.pad(
+        banded["inverse"], (0, banded["nb"] * banded["block_b"] - B),
+        constant_values=banded["nb"] * banded["block_b"] - 1))
+
+    def chained(n):
+        @jax.jit
+        def run(flat, bands, tidx, inv):
+            def body(carry, _):
+                out = _banded_spmm(flat + carry * 1e-30, bands, tidx, inv,
+                                   align=banded["align"],
+                                   c_pad=banded["C_pad"])
+                return carry + jnp.sum(out) * 1e-30, None
+            out, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+            return out
+        return run
+
+    r1, r2 = chained(1), chained(4)
+    args = (flat, bands, tidx, inv)
+    float(r1(*args)); float(r2(*args))
+
+    def t(run):
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ms = (t(r2) - t(r1)) / 3 * 1e3
+    return round(ms, 2), f"{B}x{C}x{T}"
+
+
 def main():
     size = os.environ.get("BENCH_SIZE", "default")
     if size == "small":
@@ -199,6 +257,7 @@ def main():
     vs_baseline = base_secs / device_secs
 
     avail = bench_availability()
+    banded_ms, banded_shape = bench_banded_agg()
 
     print(json.dumps({
         "metric": "grid-cell-hours/s (wind+PV CF + bus aggregation)",
@@ -210,6 +269,8 @@ def main():
             "device_secs_per_step": round(device_secs, 6),
             "baseline_secs_per_step": round(base_secs, 4),
             "availability_Mpix_per_s": avail,
+            "banded_agg_ms": banded_ms,
+            "banded_agg_shape": banded_shape,
             "device": str(jax.devices()[0]),
         },
     }))
