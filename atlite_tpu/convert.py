@@ -173,7 +173,7 @@ def convert_and_aggregate(
                 "given for `per_unit` or `return_capacity`"
             )
         agg = "sum" if aggregate_time == "legacy" else aggregate_time
-        return _aggregate_time_da(da, agg).load()
+        return maybe_progressbar(_aggregate_time_da(da, agg), show_progress)
 
     if matrix is not None:
         if shapes is not None:
@@ -194,8 +194,7 @@ def convert_and_aggregate(
         matrix = sp.csr_matrix(cutout.indicatormatrix(shapes, shapes_crs))
 
     if layout is not None:
-        lv = layout.to_numpy() if isinstance(layout, DataArray) else np.asarray(layout)
-        lv = lv.ravel()
+        lv = _align_layout(layout, cutout)
         if matrix is None:
             matrix = sp.csr_matrix(lv[None, :])
         else:
@@ -227,10 +226,42 @@ def convert_and_aggregate(
     if aggregate_time != "legacy":
         results = _aggregate_time_da(results, aggregate_time)
 
-    results = results.load()
+    results = maybe_progressbar(results, show_progress)
     if return_capacity:
         return results, capacity
     return results
+
+
+def _align_layout(layout, cutout):
+    """Flatten a capacity layout onto the cutout's (y, x) cell order.
+
+    A DataArray layout is aligned by its coordinates — transposed to
+    (y, x), reindexed onto the cutout grid (missing cells -> 0), matching
+    the reference's ``layout.reindex_like(cutout.data).stack(...)``
+    (convert.py:242-249); raveling an arbitrarily-ordered array silently
+    scrambles per-cell capacities otherwise.  Plain arrays must already be
+    (y, x)-shaped in ascending order.
+    """
+    g = cutout.grid_desc
+    if isinstance(layout, DataArray) and {"y", "x"} <= set(layout.coords):
+        layout = layout.transpose(
+            *[d for d in layout.dims if d not in ("y", "x")], "y", "x")
+        if layout.ndim != 2:
+            raise ValueError("layout must be 2-dimensional (y, x)")
+        iy = pd.Index(layout.coords["y"]).get_indexer(g.y)
+        ix = pd.Index(layout.coords["x"]).get_indexer(g.x)
+        vals = np.zeros(cutout.shape, dtype=float)
+        oky, okx = iy >= 0, ix >= 0
+        sub = np.asarray(layout.values)[np.ix_(iy[oky], ix[okx])]
+        vals[np.ix_(oky, okx)] = sub
+        return vals.ravel()
+    lv = np.asarray(layout)
+    if lv.shape != cutout.shape:
+        raise ValueError(
+            f"layout shape {lv.shape} does not match the cutout grid "
+            f"{cutout.shape}; pass a DataArray with y/x coords to align"
+        )
+    return lv.ravel()
 
 
 def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
@@ -251,6 +282,11 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
             "converters (chunk boundaries would split days)"
         )
     T = len(cutout.grid_desc.time)
+    if T == 0 or time_chunk <= 0:
+        raise ValueError(
+            f"time_chunk streaming needs a positive chunk and a non-empty "
+            f"time axis (T={T}, time_chunk={time_chunk})"
+        )
     pieces = []
     prev = None
     for t0 in range(0, T, time_chunk):
@@ -574,17 +610,26 @@ def runoff(cutout, smooth=None, lower_threshold_quantile=None,
         res = res.copy(np.where(res.values >= thr, res.values, 0.0))
 
     if normalize_using_yearly is not None:
-        nuy = normalize_using_yearly
-        nuy_years = (nuy.index.year if isinstance(nuy.index, pd.DatetimeIndex)
+        # normalize by integer YEAR labels regardless of the stats' index
+        # flavor (reference uses a string slice on a datetime index,
+        # convert.py:1073-1082)
+        nuy = normalize_using_yearly.copy()
+        nuy.index = (nuy.index.year if isinstance(nuy.index, pd.DatetimeIndex)
                      else nuy.index.astype(int))
         tindex = pd.DatetimeIndex(res.coords["time"].values)
         counts = pd.Series(tindex.year).value_counts()
-        years = counts[counts > 8700].index.intersection(nuy_years)
+        years = counts[counts > 8700].index.intersection(nuy.index)
         assert len(years), "Need at least a full year of data (more is better)"
         lo, hi = int(years.min()), int(years.max())
         sel = (tindex.year >= lo) & (tindex.year <= hi)
-        dim = res.dims[1 - res.get_axis_num("time")]
-        nuy_sum = nuy.loc[[y for y in nuy_years if lo <= y <= hi]].sum()
+        nuy_sum = nuy.loc[(nuy.index >= lo) & (nuy.index <= hi)].sum()
+        bus_dim = res.dims[1 - res.get_axis_num("time")]
+        if np.ndim(nuy_sum) > 0:
+            # align the per-region totals to the result's bus labels —
+            # positional pairing would scale regions by each other's
+            # totals when the column order differs (reference reindexes
+            # by label, convert.py:1080-1082)
+            nuy_sum = nuy_sum.reindex(res.coords[bus_dim])
         denom = res.values[:, sel].sum(axis=1) if res.dims[0] != "time" \
             else res.values[sel].sum(axis=0)
         scale = np.asarray(nuy_sum) / denom
@@ -670,8 +715,20 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
         cell_idx[i, : len(ci)] = ci
         mask[i, : len(ci)] = True
 
-    fields = cutout.fields()
+    fields = dict(cutout.fields())
     T = cutout.grid_desc.time.shape[0]
+    if "solar_altitude" not in fields or "solar_azimuth" not in fields:
+        # compute solar position on the fly when it is not a stored
+        # variable (the reference's SolarPosition(ds) call inside
+        # convert_line_rating, convert.py:1243-1247)
+        g = cutout.grid_desc
+        eph = timeutil.solar_ephemeris(g.time, "0h")
+        sp_ = solar_position(
+            jnp.asarray(eph["declination"]), jnp.asarray(eph["hour_angle0"]),
+            jnp.asarray(g.x), jnp.asarray(g.y),
+        )
+        fields["solar_altitude"] = sp_["altitude"]
+        fields["solar_azimuth"] = sp_["azimuth"]
     need = ["temperature", "wnd100m", "height", "wnd_azimuth", "influx_direct",
             "solar_altitude", "solar_azimuth"]
     gathered = {}

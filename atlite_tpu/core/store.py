@@ -68,8 +68,12 @@ def write_store(path, grid, data, attrs, var_attrs):
                 fn.read_bytes()
             ).hexdigest()
         (tmp / MANIFEST).write_text(json.dumps(manifest, indent=1))
+        old = Path(str(path) + ".old")
+        if old.exists():
+            # stale backup from a previous interrupted swap — it would
+            # make os.replace(path, old) fail with ENOTEMPTY forever
+            shutil.rmtree(old)
         if path.exists():
-            old = Path(str(path) + ".old")
             os.replace(path, old)
             os.replace(tmp, path)
             shutil.rmtree(old)
@@ -86,6 +90,11 @@ def read_store(path, mmap=True, verify=False):
     verify=True checks each array file against the manifest's sha256
     (failure detection for partially written / corrupted stores)."""
     path = Path(path)
+    old = Path(str(path) + ".old")
+    if not path.exists() and old.exists():
+        # a write was interrupted between the two directory swaps — the
+        # previous (complete) store lives in '.old'; recover it
+        os.replace(old, path)
     manifest = json.loads((path / MANIFEST).read_text())
     data, var_attrs = {}, {}
     for name, meta in manifest["variables"].items():

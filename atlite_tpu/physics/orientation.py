@@ -122,7 +122,11 @@ def surface_orientation(solar_position, lat, orientation_spec, tracking=None):
 
     else:  # dual
         cosincidence = jnp.ones_like(alt)
-        surface_slope, surface_azimuth = alt * 0 + np.pi / 2, az
+        # the reference keeps the STATIC orientation slope/azimuth for
+        # 'dual' (orientation.py:175-178 only sets cosincidence=1) — the
+        # Hay-Davies transposition reads them; the 'simple' model
+        # special-cases dual with cos(slope)=sin(altitude) downstream
+        surface_slope, surface_azimuth = slope, panel_az
 
     return {
         "cosincidence": jnp.clip(cosincidence, 0.0, None),

@@ -120,8 +120,14 @@ def power_curve(wind_speed, V, POW, P):
     # so it would not strength-reduce it on its own)
     inv_dv = 1.0 / jnp.where(right == left, 1.0, right - left)
     slope = (POWn[1:] - POWn[:-1]) * inv_dv
-    inseg = (x > left) & (x <= right)
+    # membership [left, right): at a DUPLICATED knot (cut-in/cut-out jump)
+    # a query exactly on the knot takes the post-jump segment, matching
+    # np.interp — (left, right] would return the pre-jump (rated!) value
+    # at the cut-out speed
+    inseg = (x >= left) & (x < right)
     val = POWn[:-1] + (x - left) * slope
     out = jnp.sum(jnp.where(inseg, val, 0.0), axis=-1)
-    # clamp outside the curve like np.interp
-    return out + (wind_speed <= V[0]) * POWn[0] + (wind_speed > V[-1]) * POWn[-1]
+    # clamp outside the curve like np.interp (x == V[-1] included here,
+    # excluded from the last segment above); NaN wind stays NaN
+    out = out + (wind_speed < V[0]) * POWn[0] + (wind_speed >= V[-1]) * POWn[-1]
+    return jnp.where(jnp.isnan(wind_speed), jnp.nan, out)

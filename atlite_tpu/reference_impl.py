@@ -77,8 +77,9 @@ def surface_orientation_numpy(alt, az, lat, slope_deg, panel_az_deg, tracking):
             cosinc = np.sin(slope) * cos_alt + np.cos(slope) * sin_alt
             out_slope = np.broadcast_to(slope, alt.shape)
         elif tracking == "dual":
+            # reference orientation.py:175-178 keeps the STATIC slope
             cosinc = np.ones_like(alt)
-            out_slope = np.broadcast_to(np.pi / 2, alt.shape)
+            out_slope = np.broadcast_to(slope, alt.shape)
         else:
             raise ValueError(tracking)
     return np.clip(cosinc, 0.0, None), out_slope

@@ -54,6 +54,12 @@ def test_surface_orientation_allclose(cutout, tracking):
     np.testing.assert_array_equal(np.isnan(got), np.isnan(cos_ref))
     ok = ~np.isnan(cos_ref)
     np.testing.assert_allclose(got[ok], cos_ref[ok], atol=1e-10)
+    # the effective surface slope feeds the Hay-Davies transposition —
+    # compare it too (dual keeps the STATIC slope, orientation.py:175-178)
+    slope_got = np.broadcast_to(np.asarray(surf["slope"]), alt.shape)
+    slope_exp = np.broadcast_to(slope_ref, alt.shape)
+    oks = ~np.isnan(slope_exp)
+    np.testing.assert_allclose(slope_got[oks], slope_exp[oks], atol=1e-10)
 
 
 def test_hay_davies_allclose(cutout):

@@ -154,6 +154,57 @@ def test_runoff_normalize_using_yearly():
     assert np.isclose(np.asarray(r.values).sum(), 1234.5)
 
 
+def test_runoff_normalize_using_yearly_datetimeindex():
+    """Yearly stats with a DatetimeIndex and label-aligned regions
+    (reference convert.py:1073-1082 string-slices a datetime index)."""
+    c = Cutout(path=None, module="synthetic", x=slice(-1, 0), y=slice(50, 51),
+               time="2013", dtype="float64")
+    c.prepare(features=["runoff", "height"])
+    layout = c.uniform_layout()
+    target = pd.DataFrame({0: [777.0]},
+                          index=pd.DatetimeIndex(["2013-01-01"]))
+    r = c.runoff(layout=layout, normalize_using_yearly=target,
+                 aggregate_time=None)
+    assert np.isclose(np.asarray(r.values).sum(), 777.0)
+
+    # two regions, stats columns given in REVERSED order: label alignment
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(np.vstack([layout.values.ravel() * 2,
+                                 layout.values.ravel()]))
+    target2 = pd.DataFrame({1: [100.0], 0: [300.0]}, index=[2013])
+    r2 = c.runoff(matrix=m, index=pd.Index([0, 1], name="bus"),
+                  normalize_using_yearly=target2, aggregate_time=None)
+    sums = np.asarray(r2.values).sum(axis=1)
+    np.testing.assert_allclose(sums, [300.0, 100.0], rtol=1e-9)
+
+
+def test_layout_dataarray_alignment():
+    """A layout DataArray with descending y / transposed dims aligns by
+    coordinates (reference layout.reindex_like, convert.py:242-249)."""
+    c = Cutout(path=None, module="synthetic", x=slice(-1, 0.5), y=slice(50, 51),
+               time="2013-01-01")
+    c.prepare()
+    from atlite_tpu.dataarray import DataArray as DA
+
+    g = c.grid_desc
+    vals = np.arange(len(g.y) * len(g.x), dtype=float).reshape(
+        len(g.y), len(g.x))
+    asc = DA(vals, coords={"y": g.y, "x": g.x}, dims=("y", "x"))
+    desc = DA(vals[::-1].T.copy(),
+              coords={"x": g.x, "y": g.y[::-1]}, dims=("x", "y"))
+    r_asc, cap_asc = c.wind("Vestas_V112_3MW", layout=asc,
+                            return_capacity=True, aggregate_time=None)
+    r_desc, cap_desc = c.wind("Vestas_V112_3MW", layout=desc,
+                              return_capacity=True, aggregate_time=None)
+    np.testing.assert_allclose(np.asarray(cap_desc.values),
+                               np.asarray(cap_asc.values))
+    np.testing.assert_allclose(np.asarray(r_desc.values),
+                               np.asarray(r_asc.values), rtol=1e-6)
+    with pytest.raises(ValueError):
+        c.wind("Vestas_V112_3MW", layout=vals[:, :-1], aggregate_time=None)
+
+
 def test_higher_altitude_higher_runoff(cutout):
     """Height weighting boosts mountain runoff (reference
     test_preparation_and_conversion.py:335-357)."""

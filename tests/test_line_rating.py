@@ -90,6 +90,25 @@ def test_line_rating_end_to_end(cutout):
     assert out.attrs["units"] == "A"
 
 
+def test_line_rating_without_stored_solar_position():
+    """Solar position is computed on the fly when the cutout lacks the
+    stored variables (reference SolarPosition(ds) fallback inside
+    convert_line_rating, convert.py:1243-1247)."""
+    from atlite_tpu import Cutout
+    from atlite_tpu.gis.geometry import LineString
+
+    c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
+               time="2013-06-01")
+    c.prepare()
+    for v in ("solar_altitude", "solar_azimuth"):
+        del c.data[v]
+    c._invalidate()
+    lines = pd.Series({"l1": LineString([(-2.5, 57.0), (-0.5, 57.0)])})
+    out = c.line_rating(lines, line_resistance=1e-4)
+    vals = np.asarray(out.values)
+    assert np.all(np.isfinite(vals)) and np.all(vals > 0)
+
+
 def test_line_rating_no_overlap_is_nan(cutout):
     from atlite_tpu.gis.geometry import LineString
 

@@ -36,6 +36,35 @@ def test_atomic_rewrite_preserves_on_second_write(tmp_path):
     read_store(c2.path, verify=True)
 
 
+def test_stale_old_backup_is_recovered(tmp_path):
+    """Interrupted swaps leave '<store>.old' behind; writes must clear a
+    stale backup and reads must recover from one when the store vanished
+    mid-swap."""
+    import os
+    import shutil
+
+    c = Cutout(path=tmp_path / "c4", module="synthetic", x=slice(-2, 0),
+               y=slice(50, 52), time="2013-01-01")
+    c.prepare(features=["wind"])
+    path = c.path
+
+    # simulate a crash between the two os.replace calls: store moved to
+    # .old, nothing at path
+    os.replace(path, str(path) + ".old")
+    assert not path.exists()
+    grid_kwargs, data, attrs, var_attrs = read_store(path)  # recovers
+    assert "wnd100m" in dict(data)
+    assert path.exists()
+
+    # simulate a crash after the swap but before backup cleanup: stale
+    # .old present alongside a live store — next write must not ENOTEMPTY
+    shutil.copytree(path, str(path) + ".old")
+    c2 = Cutout(path=path)
+    c2.prepare(features=["influx"])  # triggers write_store on existing dir
+    assert "influx_toa" in c2.data
+    read_store(path, verify=True)
+
+
 def test_partial_prepare_resume(tmp_path):
     c = Cutout(path=tmp_path / "c3", module="synthetic", x=slice(-2, 0),
                y=slice(50, 52), time="2013-01-01")

@@ -71,6 +71,20 @@ def test_turbine_registry():
     assert conf["POW"][-1] == 0  # has cut-out
 
 
+def test_power_curve_matches_np_interp_at_duplicate_knots():
+    """np.interp semantics at duplicated knots (cut-in/cut-out jumps) and
+    NaN propagation — the reference applies np.interp directly
+    (convert.py:648-658)."""
+    V = np.array([0.0, 3.0, 12.0, 25.0, 25.0])
+    POW = np.array([0.0, 0.0, 3.0, 3.0, 0.0])
+    q = np.array([25.0, 24.999, 25.001, 3.0, 0.0, 30.0, np.nan])
+    ours = np.asarray(W.power_curve(jnp.asarray(q), V, POW, 3.0))
+    ref = np.interp(q, V, POW) / 3.0
+    np.testing.assert_allclose(ours[:-1], ref[:-1], atol=1e-6)
+    assert np.isnan(ours[-1])
+    assert ours[0] == 0.0  # exactly at cut-out -> post-jump (zero), not rated
+
+
 def test_turbine_catalog_reference_parity():
     """Every turbine the reference registry exposes resolves here too
     (reference resources/windturbine/*.yaml; registry resource.py:514)."""
