@@ -4,17 +4,15 @@ Reference semantics: (N_bus x N_cell) csr_matrix times the (cell, time)
 field (/root/reference/atlite/aggregate.py:16-35), where the reference
 rechunks the full spatial plane into every dask task.
 
-TPU-native design: the matrix lives as COO index/value arrays on device and
-the contraction is either
+TPU-native design: the contraction routes by matrix structure —
 
-- a gather + segment-sum over nonzeros (bandwidth-optimal for the very
-  sparse region/cell matrices), time-chunked with lax.map so the (T, nnz)
-  intermediate stays bounded in HBM, or
-- a dense f32 matmul on the MXU when the matrix is small enough that
-  dense flops beat gather latency.
+- a dense f32 matmul on the MXU below ``_DENSE_LIMIT`` entries,
+- the banded formulation (ops/bsr_spmm.to_banded) for large spatially
+  local matrices,
+- dense matmul streamed over row chunks when no band structure exists.
 
-Both paths are jit-compiled; the multi-chip variant (cells sharded,
-reduce-scatter over ICI) lives in atlite_tpu.core.mesh.
+All paths are jit-compiled; the multi-chip variants (co-sharded einsum /
+per-shard bands + psum over ICI) live in atlite_tpu.core.mesh.
 """
 
 from __future__ import annotations
@@ -37,25 +35,6 @@ def spdiag(v):
     """Sparse diagonal matrix (reference gis.py:78-84)."""
     v = np.asarray(v).ravel()
     return sp.diags(v).tocsr()
-
-
-def _segment_spmm(flat_tc, rows, cols, vals, n_bus, time_chunk=1024):
-    """out[t, b] = sum_k vals[k] * flat[t, cols[k]] grouped by rows[k].
-
-    flat_tc: (T, C) device array.  Returns (T, n_bus).
-    """
-    T = flat_tc.shape[0]
-    nchunks = max(1, -(-T // time_chunk))
-    pad = nchunks * time_chunk - T
-    flat_p = jnp.pad(flat_tc, ((0, pad), (0, 0)))
-    blocks = flat_p.reshape(nchunks, time_chunk, -1)
-
-    def one_block(block):
-        gathered = block[:, cols] * vals[None, :]  # (tc, nnz)
-        return jax.ops.segment_sum(gathered.T, rows, num_segments=n_bus).T
-
-    out = jax.lax.map(one_block, blocks)  # (nchunks, tc, B)
-    return out.reshape(nchunks * time_chunk, n_bus)[:T]
 
 
 @jax.jit

@@ -160,6 +160,13 @@ def convert_and_aggregate(
     func_name = convert_func.__name__.replace("convert_", "")
     logger.info(f"Convert and aggregate '{func_name}'.")
     time_chunk = convert_kwds.pop("time_chunk", None)
+    if time_chunk is None and convert_func not in (convert_heat_demand,
+                                                   convert_cooling_demand):
+        # stored chunking (Cutout(..., chunksize_time=N), the analog of
+        # the reference's persisted dask chunks) is the streaming default
+        time_chunk = (cutout.chunks or {}).get("time")
+        if time_chunk and time_chunk >= len(cutout.grid_desc.time):
+            time_chunk = None  # single chunk: run unstreamed
     if time_chunk:
         da = _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds)
     else:

@@ -119,7 +119,14 @@ class Grid:
 
     @property
     def dt(self):
-        return pd.infer_freq(pd.DatetimeIndex(self.time))
+        idx = pd.DatetimeIndex(self.time)
+        if len(idx) < 3:
+            # pd.infer_freq needs >=3 stamps; fall back to the step
+            if len(idx) == 2:
+                return pd.tseries.frequencies.to_offset(
+                    idx[1] - idx[0]).freqstr
+            return None
+        return pd.infer_freq(idx)
 
     @property
     def extent(self):

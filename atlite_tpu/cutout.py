@@ -450,7 +450,9 @@ class Cutout:
 
     def equals(self, other):
         if not isinstance(other, Cutout):
-            return NotImplemented
+            # a named equals() returns a plain bool — NotImplemented is
+            # truthy and only meaningful from __eq__-style dunders
+            return False
         if set(self.data) != set(other.data):
             return False
         return all(

@@ -134,7 +134,14 @@ class DataArray:
                 else:
                     isels[d] = int(idx.get_loc(v))
             else:
-                isels[d] = idx.get_indexer(np.asarray(v), method=method)
+                pos = idx.get_indexer(np.asarray(v), method=method)
+                if method is None and (pos < 0).any():
+                    missing = np.asarray(v)[pos < 0]
+                    raise KeyError(
+                        f"labels {missing.tolist()} not found in "
+                        f"coordinate {d!r}"
+                    )
+                isels[d] = pos
         return self.isel(**isels)
 
     def transpose(self, *dims):
@@ -183,23 +190,29 @@ class DataArray:
         return self.copy(np.where(cond, np.asarray(self.values), other))
 
     def fillna(self, value):
-        return self.copy(np.nan_to_num(np.asarray(self.values), nan=value))
+        v = np.asarray(self.values)
+        return self.copy(np.where(np.isnan(v), value, v))
 
     def rolling_mean(self, dim, window, min_periods=1):
-        """Trailing rolling mean (reference: convert.py:1050-1052 uses
-        ``result.rolling(time=smooth, min_periods=1).mean()``)."""
+        """Trailing rolling mean, NaN-skipping (xarray
+        ``rolling(time=w, min_periods=1).mean()`` semantics, the reference's
+        smoothing at convert.py:1050-1052): NaNs inside a window are
+        excluded from both the sum and the count rather than poisoning
+        every later window through the cumsum."""
         axis = self.get_axis_num(dim)
         v = np.moveaxis(np.asarray(self.values, dtype=float), axis, 0)
-        csum = np.cumsum(v, axis=0)
+        valid = ~np.isnan(v)
+        csum = np.cumsum(np.where(valid, v, 0.0), axis=0)
+        ccnt = np.cumsum(valid.astype(np.int64), axis=0)
         out = np.empty_like(v)
         n = v.shape[0]
         for i in range(n):
             lo = max(0, i - window + 1)
-            count = i - lo + 1
-            if count < min_periods:
-                out[i] = np.nan
-            else:
-                out[i] = (csum[i] - (csum[lo - 1] if lo > 0 else 0)) / count
+            s = csum[i] - (csum[lo - 1] if lo > 0 else 0)
+            c = ccnt[i] - (ccnt[lo - 1] if lo > 0 else 0)
+            with np.errstate(invalid="ignore"):
+                out[i] = np.where(c >= max(min_periods, 1), s / np.maximum(c, 1),
+                                  np.nan)
         return self.copy(np.moveaxis(out, 0, axis))
 
     # -- arithmetic with dim-name broadcasting --------------------------------

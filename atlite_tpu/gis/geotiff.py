@@ -247,6 +247,21 @@ def write_geotiff(raster, path, compression="deflate"):
     """Write a single-band GeoTIFF (striped, Deflate or uncompressed)."""
     from atlite_tpu.gis.crs import normalize_crs
 
+    t0 = raster.transform
+    if t0.e > 0:
+        # GeoTIFF's ModelPixelScale + top-left tiepoint encoding assumes
+        # north-up (negative e); normalize ascending-y rasters by flipping
+        # rows and re-anchoring the origin at the top — the georeferencing
+        # round-trips exactly instead of silently mirroring
+        from atlite_tpu.core.grid import Affine
+        from atlite_tpu.gis.raster import Raster as _R
+
+        rows = np.asarray(raster.data).shape[0]
+        raster = _R(
+            np.asarray(raster.data)[::-1],
+            Affine(t0.a, t0.b, t0.c, t0.d, -t0.e, t0.f + t0.e * rows),
+            raster.crs, raster.nodata,
+        )
     arr = np.ascontiguousarray(raster.data)
     if arr.ndim != 2:
         raise ValueError("single-band rasters only")
