@@ -5,8 +5,10 @@ with dotted-access registries, turbine power-curve validation (monotone wind
 speeds, optional auto cut-out speed), gaussian power-curve smoothing, and
 the OEDB online turbine download.
 
-The shipped resource data files are generated by this project (see
-resources/README.md) — realistic parametric curves and tables, not copies.
+The shipped resource data files carry the reference distribution's measured
+data tables (CC-BY-4.0/CC0, re-emitted with attribution by
+tools/import_reference_resources.py — see resources/README.md), so named
+configs produce the reference's numbers.
 """
 
 from __future__ import annotations
@@ -94,6 +96,11 @@ def get_cspinstallationconfig(installation):
     config["path"] = path
 
     eff = config["efficiency"]
+    if isinstance(eff["altitude"], dict):
+        # reference-format files store pandas to_dict() output:
+        # {altitude: {row: deg}, ...} (reference resource.py:176-178)
+        rows = sorted(eff["altitude"])
+        eff = {k: [eff[k][r] for r in rows] for k in ("altitude", "azimuth", "value")}
     alt = np.asarray(eff["altitude"], dtype=float)  # deg
     azi = np.asarray(eff["azimuth"], dtype=float)  # deg
     val = np.asarray(eff["value"], dtype=float)

@@ -107,10 +107,19 @@ def test_csp_solar_tower(cutout):
 
 def test_csp_lossless_upper_bound(cutout):
     """Real installation <= lossless installation
-    (reference test_preparation_and_conversion.py:226-253)."""
+    (reference test_preparation_and_conversion.py:226-253).
+
+    The shipped lossless_installation.yaml carries the reference's literal
+    ``technology: None`` (the *string*, not yaml null), so — exactly as in
+    the reference's convert_csp (convert.py:943-949) — it is only usable
+    with an explicit ``technology=`` override.
+    """
     real = cutout.csp("SAM_solar_tower", aggregate_time=None)
-    lossless = cutout.csp("lossless_installation", aggregate_time=None)
+    lossless = cutout.csp("lossless_installation", technology="solar tower",
+                          aggregate_time=None)
     assert np.all(np.asarray(real.values) <= np.asarray(lossless.values) + 1e-9)
+    with pytest.raises(ValueError):
+        cutout.csp("lossless_installation", aggregate_time=None)
 
 
 def test_csp_trough_vs_tower_technology(cutout):

@@ -65,8 +65,12 @@ def test_power_curve_interp():
 def test_turbine_registry():
     assert "Vestas_V112_3MW" in windturbines
     conf = get_windturbineconfig("Vestas_V112_3MW")
-    assert conf["P"] == 3.0
+    # measured datasheet curve (reference resources/windturbine/
+    # Vestas_V112_3MW.yaml:13-20): peak 3.06 MW at 13 m/s, hub 80 m
+    assert conf["P"] == 3.06
     assert conf["hub_height"] == 80.0
+    assert list(conf["V"][:5]) == [0.0, 2.0, 3.0, 4.0, 5.0]
+    assert conf["POW"][2] == 0.005 and conf["POW"][3] == 0.15
     assert np.all(np.diff(conf["V"]) >= 0)
     assert conf["POW"][-1] == 0  # has cut-out
 
