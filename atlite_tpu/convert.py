@@ -685,7 +685,7 @@ def convert_line_rating(ds, psi, R, D=0.028, Ts=373, epsilon=0.6, alpha=0.6,
 
 
 def line_rating(cutout, shapes, line_resistance, show_progress=False,
-                dask_kwargs=None, **params):
+                dask_kwargs=None, _chunk_hours=None, **params):
     """Dynamic line rating for a set of line geometries (convert.py:1255-1367).
 
     TPU-native: all lines are evaluated in one batched padded-gather kernel
@@ -696,7 +696,6 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
     if not isinstance(shapes, pd.Series):
         shapes = pd.Series(list(shapes)).rename_axis("dim_0")
     I = sp.csr_matrix(cutout.intersectionmatrix(shapes))
-    rows, cols = I.nonzero()
 
     def get_azimuth(shape):
         coords = np.asarray(parse_geometry(shape).coords)
@@ -713,14 +712,14 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
     df = pd.DataFrame({"psi": azimuth, "R": line_resistance}).assign(**params)
     assert df.notnull().all().all(), "Nan values encountered."
 
+    # vectorized padded (L, K) gather plan straight from the CSR structure:
+    # csr .indices is row-major, so the row-major mask positions line up
     L = len(df)
-    K = max(1, int(np.bincount(rows, minlength=L).max()) if len(rows) else 1)
+    counts = np.diff(I.indptr)
+    K = max(1, int(counts.max()) if L else 1)
+    mask = np.arange(K)[None, :] < counts[:, None]
     cell_idx = np.zeros((L, K), dtype=np.int64)
-    mask = np.zeros((L, K), dtype=bool)
-    for i in range(L):
-        ci = cols[rows == i]
-        cell_idx[i, : len(ci)] = ci
-        mask[i, : len(ci)] = True
+    cell_idx[mask] = I.indices
 
     fields = dict(cutout.fields())
     T = cutout.grid_desc.time.shape[0]
@@ -738,21 +737,44 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
         fields["solar_azimuth"] = sp_["azimuth"]
     need = ["temperature", "wnd100m", "height", "wnd_azimuth", "influx_direct",
             "solar_altitude", "solar_azimuth"]
-    gathered = {}
-    for v in need:
-        arr = fields[v]
-        if arr.ndim == 3:
-            flat = arr.reshape(T, -1)
-            gathered[v] = jnp.transpose(flat[:, cell_idx], (1, 2, 0))  # (L,K,T)
-        else:
-            gathered[v] = arr.reshape(-1)[cell_idx][:, :, None]  # (L,K,1)
+    flats = {v: np.asarray(fields[v]).reshape(T, -1)
+             if np.ndim(fields[v]) == 3 else np.asarray(fields[v]).reshape(-1)
+             for v in need}
+    mask_dev = jnp.asarray(mask)
+    static = {v: jnp.asarray(flats[v][cell_idx][:, :, None])
+              for v in need if flats[v].ndim == 1}  # (L,K,1)
 
-    out = lr_kernels.batched_line_rating(
-        gathered, jnp.asarray(mask), df["psi"].values, df["R"].values,
-        df["D"].values, df["Ts"].values, df["epsilon"].values, df["alpha"].values,
-    )
+    # stream the (L, K, T) gather through the device in time chunks so a
+    # national grid (thousands of lines x full year) never materializes at
+    # once; the host gather rides the mmap'd store, the device kernel is
+    # batched over all lines (no per-line fan-out, cf. reference
+    # convert.py:1354-1365)
+    chunk = _chunk_hours or max(1, min(T, int(48e6 // max(1, L * K))))
+    pieces = []
+    for t0 in range(0, T, chunk):
+        t1 = min(T, t0 + chunk)
+        gathered = dict(static)
+        for v in need:
+            if flats[v].ndim == 2:
+                # (Tc, L, K) -> (L, K, Tc); pad the tail chunk to a fixed
+                # width so jit sees one shape
+                g = np.transpose(flats[v][t0:t1][:, cell_idx], (1, 2, 0))
+                if t1 - t0 < chunk:
+                    g = np.pad(g, ((0, 0), (0, 0), (0, chunk - (t1 - t0))),
+                               mode="edge")
+                gathered[v] = jnp.asarray(g)
+        out = lr_kernels.batched_line_rating(
+            gathered, mask_dev, df["psi"].values, df["R"].values,
+            df["D"].values, df["Ts"].values, df["epsilon"].values,
+            df["alpha"].values,
+        )
+        pieces.append(np.asarray(out)[:, : t1 - t0])
+    if not pieces:
+        out = np.zeros((L, 0))
+    else:
+        out = np.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
     return DataArray(
-        np.asarray(out),
+        out,
         coords={"name": df.index, "time": cutout.grid_desc.time_index},
         dims=("name", "time"), attrs={"units": "A"},
     )

@@ -84,6 +84,61 @@ def write_store(path, grid, data, attrs, var_attrs):
         raise
 
 
+def update_store(path, grid, data, attrs, var_attrs, update_vars):
+    """Incrementally add/replace variables in an existing store.
+
+    Only the files of ``update_vars`` are written (O(new bytes), not
+    O(store bytes) — the reference writes the whole NetCDF once per
+    prepare() call, data.py:254-270; round-1 here rewrote the whole store
+    once per *feature*, which was O(features²) I/O).  Crash-safe ordering:
+    new variable files land under temporary names and are os.replace'd
+    into place first; the manifest (which is what read_store trusts) is
+    swapped last, so an interruption leaves the previous consistent state
+    plus at most orphaned data files that the next write overwrites.
+    """
+    path = Path(path)
+    if not path.exists():
+        write_store(path, grid, data, attrs, var_attrs)
+        return
+    manifest = json.loads((path / MANIFEST).read_text())
+    update_vars = set(update_vars)
+    known = set(manifest["variables"])
+    missing = set(data) - known - update_vars
+    if missing:
+        # store predates some in-memory variables we were not asked to
+        # write — fall back to a full rewrite to avoid losing them
+        write_store(path, grid, data, attrs, var_attrs)
+        return
+    for name in sorted(update_vars):
+        arr = np.asarray(data[name])
+        fn = path / f"{_sanitize_var(name)}.npy"
+        fd, tmpname = tempfile.mkstemp(prefix=fn.name, suffix=".tmp", dir=path)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, arr)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmpname, fn)
+        except BaseException:
+            if os.path.exists(tmpname):
+                os.unlink(tmpname)
+            raise
+        manifest["variables"][name] = {
+            "dims": list(var_attrs.get(name, {}).get("dims", ("time", "y", "x"))),
+            "dtype": str(arr.dtype),
+            **{k: _jsonable(v) for k, v in var_attrs.get(name, {}).items()
+               if k != "dims"},
+            "sha256": hashlib.sha256(fn.read_bytes()).hexdigest(),
+        }
+    manifest["attrs"] = _jsonable(attrs)
+    fd, tmpname = tempfile.mkstemp(prefix=MANIFEST, suffix=".tmp", dir=path)
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(manifest, indent=1))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmpname, path / MANIFEST)
+
+
 def read_store(path, mmap=True, verify=False):
     """Load a cutout directory; arrays are memory-mapped by default.
 

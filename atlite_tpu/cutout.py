@@ -33,7 +33,7 @@ from atlite_tpu.convert import (
     wind,
 )
 from atlite_tpu.core.grid import Grid, coordinate_range
-from atlite_tpu.core.store import read_store, write_store
+from atlite_tpu.core.store import read_store, update_store, write_store
 from atlite_tpu.dataarray import DataArray
 from atlite_tpu.datasets import modules as datamodules
 from atlite_tpu.gis.crs import transform_points
@@ -295,6 +295,7 @@ class Cutout:
                 logger.info(f"Preparing feature '{feature}' from module '{module}'")
                 result = mod.get_data(self, feature, tmpdir=tmpdir,
                                       **{**self.attrs, **params})
+                new_vars = []
                 for var, (dims, arr) in result.items():
                     if var not in mod.features[feature]:
                         continue
@@ -302,19 +303,30 @@ class Cutout:
                     self.var_attrs[var] = {
                         "dims": dims, "module": module, "feature": feature,
                     }
+                    new_vars.append(var)
                 pf = set(self.attrs.get("prepared_features", []))
                 pf.add(feature)
                 self.attrs["prepared_features"] = sorted(pf)
                 self._invalidate()
                 if self.path is not None:
-                    self.to_file()
+                    # incremental per-feature checkpoint: write only this
+                    # feature's variables + the manifest (diff-resume like
+                    # the reference's prepared_features tracking,
+                    # data.py:217-272, without the O(features²) rewrite)
+                    self.to_file(update_vars=new_vars)
         return self
 
-    def to_file(self, fn=None):
+    def to_file(self, fn=None, update_vars=None):
+        """Persist to the .atc store. With ``update_vars`` (an iterable of
+        variable names) only those arrays + the manifest are written."""
         fn = self.path if fn is None else Path(fn)
         if fn is None:
             raise ValueError("cutout has no path; pass fn=")
-        write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
+        if update_vars is not None:
+            update_store(fn, self.grid_desc, self.data, self.attrs,
+                         self.var_attrs, update_vars)
+        else:
+            write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
 
     # ------------------------------------------------------------------ gis
     @property
@@ -336,7 +348,7 @@ class Cutout:
 
     def availabilitymatrix(self, shapes, excluder, nprocesses=None,
                            disable_progressbar=True, shapes_crs=4326,
-                           backend="host"):
+                           backend="auto"):
         return compute_availabilitymatrix(self, shapes, excluder, nprocesses,
                                           disable_progressbar, shapes_crs,
                                           backend)

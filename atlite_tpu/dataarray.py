@@ -200,20 +200,22 @@ class DataArray:
         excluded from both the sum and the count rather than poisoning
         every later window through the cumsum."""
         axis = self.get_axis_num(dim)
-        v = np.moveaxis(np.asarray(self.values, dtype=float), axis, 0)
+        # time LAST: the cumsums then run along contiguous memory (cumsum
+        # along a leading axis of an 8760-h field is ~3x slower)
+        v = np.ascontiguousarray(
+            np.moveaxis(np.asarray(self.values, dtype=float), axis, -1))
         valid = ~np.isnan(v)
-        csum = np.cumsum(np.where(valid, v, 0.0), axis=0)
-        ccnt = np.cumsum(valid.astype(np.int64), axis=0)
-        out = np.empty_like(v)
-        n = v.shape[0]
-        for i in range(n):
-            lo = max(0, i - window + 1)
-            s = csum[i] - (csum[lo - 1] if lo > 0 else 0)
-            c = ccnt[i] - (ccnt[lo - 1] if lo > 0 else 0)
-            with np.errstate(invalid="ignore"):
-                out[i] = np.where(c >= max(min_periods, 1), s / np.maximum(c, 1),
-                                  np.nan)
-        return self.copy(np.moveaxis(out, 0, axis))
+        # window sum at step i is csum[i] - csum[i-window] (csum inclusive):
+        # slice-shifted in-place subtraction, no Python loop over T and no
+        # fancy-index copies — an 8760-h field smooths in O(4 memory passes)
+        s = np.cumsum(np.where(valid, v, 0.0), axis=-1)
+        c = np.cumsum(valid, axis=-1, dtype=np.int64)
+        if window < s.shape[-1]:
+            s[..., window:] -= s[..., :-window].copy()
+            c[..., window:] -= c[..., :-window].copy()
+        with np.errstate(invalid="ignore"):
+            out = np.where(c >= max(min_periods, 1), s / np.maximum(c, 1), np.nan)
+        return self.copy(np.moveaxis(out, -1, axis))
 
     # -- arithmetic with dim-name broadcasting --------------------------------
     def _binop(self, other, fn, reflexive=False):

@@ -250,7 +250,7 @@ def shape_availability_reprojected(geometry, excluder, dst_transform, dst_crs,
 
 def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
                                disable_progressbar=True, shapes_crs=4326,
-                               backend="host"):
+                               backend="auto"):
     """Eligible share of each cutout cell per shape (gis.py:674-762).
 
     Returns a DataArray (shape, y, x); rows follow the shapes' index.
@@ -258,9 +258,21 @@ def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
     vectorized and runs in-process.  ``backend="device"`` runs the batched
     TPU path (atlite_tpu.gis.kernels.availability_matrix_device): all
     shapes rasterized in one kernel on a shared fine lattice and
-    downsampled with overlap matmuls.
+    downsampled with overlap matmuls.  The default ``"auto"`` picks the
+    device path when an accelerator backend is active and the exact host
+    path (GDAL-average semantics) on CPU.
     """
     import pandas as pd
+
+    if backend == "auto":
+        try:
+            import jax
+
+            backend = ("device"
+                       if jax.devices()[0].platform not in ("cpu",)
+                       else "host")
+        except Exception:
+            backend = "host"
 
     index = (shapes.index if isinstance(shapes, pd.Series)
              else pd.Index(list(shapes)) if isinstance(shapes, dict)

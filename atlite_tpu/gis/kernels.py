@@ -275,8 +275,18 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     # device: batched rasterization of the query shapes
     geoms = _as_geometry_list(shapes_geoms, shapes_crs, crs)
     edges, emask = shapes_to_edges(geoms)
-    S = len(geoms)
+    S_orig = len(geoms)
     dtype = jnp.float64 if jax.config.x64_enabled else jnp.float32
+    if mesh is not None:
+        # pad the shapes axis up to a device multiple so the mesh path
+        # engages for ANY S (padded rows have an all-false edge mask and
+        # rasterize to zeros; trimmed off before returning)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-S_orig) % n_dev
+        if pad:
+            edges = np.pad(edges, ((0, pad), (0, 0), (0, 0)))
+            emask = np.pad(emask, ((0, pad), (0, 0)))
+    S = edges.shape[0]
     edges_d = jnp.asarray(edges, dtype=dtype)
     emask_d = jnp.asarray(emask)
     px_d = jnp.asarray(px)
@@ -287,13 +297,11 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         # the downsample matmuls per shard with no communication
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        if S % n_dev == 0:
-            axes = tuple(mesh.axis_names)
-            edges_d = jax.device_put(
-                edges_d, NamedSharding(mesh, P(axes, None, None)))
-            emask_d = jax.device_put(
-                emask_d, NamedSharding(mesh, P(axes, None)))
+        axes = tuple(mesh.axis_names)
+        edges_d = jax.device_put(
+            edges_d, NamedSharding(mesh, P(axes, None, None)))
+        emask_d = jax.device_put(
+            emask_d, NamedSharding(mesh, P(axes, None)))
 
     # stream over fine-row blocks so device memory stays bounded at
     # S x row_block x nx regardless of the fine raster size
@@ -327,7 +335,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         with np.errstate(invalid="ignore"):
             avail = np.asarray(num) / den[None]
         avail[:, den <= 0] = 0.0
-        return avail[:, ::-1]  # flip to ascending y
+        return avail[:S_orig, ::-1]  # trim shape padding, flip to ascending y
 
     # cross-CRS (e.g. 100 m EPSG:3035 excluder onto a 4326 cutout): the
     # fine->cell mapping is not separable, so every block's pixels map to
@@ -408,4 +416,4 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         avail = num / cnt[None]
     avail[:, cnt <= 0] = 0.0
     avail = avail.reshape(S, NY, NX)
-    return avail[:, ::-1]
+    return avail[:S_orig, ::-1]

@@ -115,3 +115,19 @@ def test_line_rating_no_overlap_is_nan(cutout):
     lines = pd.Series({"far": LineString([(100.0, 10.0), (101.0, 10.0)])})
     out = cutout.line_rating(lines, line_resistance=1e-4)
     assert np.isnan(np.asarray(out.values)).all()
+
+
+def test_line_rating_time_chunked_equals_single(cutout):
+    """T-chunk streaming of the (L,K,T) gather (incl. the padded tail
+    chunk) is exact vs the one-shot path."""
+    from atlite_tpu.gis.geometry import LineString
+
+    lines = pd.Series({
+        "l1": LineString([(-3.5, 57.0), (0.5, 57.0)]),
+        "l2": LineString([(-2.0, 56.5), (-2.0, 61.0)]),
+        "l3": LineString([(-3.0, 58.5), (1.0, 60.5)]),
+    })
+    full = cutout.line_rating(lines, line_resistance=1e-4)
+    chunked = cutout.line_rating(lines, line_resistance=1e-4, _chunk_hours=7)
+    np.testing.assert_allclose(np.asarray(chunked.values),
+                               np.asarray(full.values), rtol=1e-6)
