@@ -9,6 +9,7 @@ first use (``fields()``), where all converters run as fused XLA pipelines.
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -47,13 +48,22 @@ class Cutout:
     """Weather-data cutout (reference cutout.py:61-689)."""
 
     def __init__(self, path=None, **cutoutparams):
-        path = Path(path).with_suffix(".atc") if path is not None else None
+        if path is not None:
+            path = Path(path)
+            if path.suffix != ".nc":
+                path = path.with_suffix(".atc")
         data = cutoutparams.pop("data", None)
         self.dtype = np.dtype(cutoutparams.pop("dtype", "float32"))
         self._fields_cache = None
 
         if path is not None and path.exists():
-            grid_kwargs, stored, attrs, var_attrs = read_store(path)
+            if path.suffix == ".nc":
+                # reference-format cutout (NetCDF-3 or NETCDF4/HDF5 —
+                # reference cutout.py:151-154) via the self-contained
+                # decoders in atlite_tpu.io
+                grid_kwargs, stored, attrs, var_attrs = _read_netcdf_cutout(path)
+            else:
+                grid_kwargs, stored, attrs, var_attrs = read_store(path)
             self.grid_desc = Grid(**grid_kwargs)
             self.data = dict(stored)
             self.attrs = dict(attrs)
@@ -279,6 +289,7 @@ class Cutout:
         modules = np.atleast_1d(self.module)
         features = set(np.atleast_1d(features)) if features is not None else None
         prepared = set(self.prepared_features.index.unique())
+        wrote_any = False
 
         for module in modules:
             mod = datamodules[module]
@@ -304,29 +315,68 @@ class Cutout:
                         "dims": dims, "module": module, "feature": feature,
                     }
                     new_vars.append(var)
-                pf = set(self.attrs.get("prepared_features", []))
+                pf = set(np.atleast_1d(self.attrs.get("prepared_features", [])))
                 pf.add(feature)
                 self.attrs["prepared_features"] = sorted(pf)
                 self._invalidate()
-                if self.path is not None:
+                wrote_any = True
+                if self.path is not None and self.path.suffix != ".nc":
                     # incremental per-feature checkpoint: write only this
                     # feature's variables + the manifest (diff-resume like
                     # the reference's prepared_features tracking,
                     # data.py:217-272, without the O(features²) rewrite)
                     self.to_file(update_vars=new_vars)
+        if self.path is not None and self.path.suffix == ".nc" and wrote_any:
+            # single whole-file write per prepare() call, like the
+            # reference (data.py:254-270)
+            self.to_file()
         return self
 
     def to_file(self, fn=None, update_vars=None):
-        """Persist to the .atc store. With ``update_vars`` (an iterable of
-        variable names) only those arrays + the manifest are written."""
+        """Persist to the .atc store (or a .nc file when the path says so).
+        With ``update_vars`` (an iterable of variable names) only those
+        arrays + the manifest are written (.atc only; a .nc file is always
+        rewritten whole, like the reference's to_netcdf, data.py:254-270)."""
         fn = self.path if fn is None else Path(fn)
         if fn is None:
             raise ValueError("cutout has no path; pass fn=")
-        if update_vars is not None:
+        if fn.suffix == ".nc":
+            self.to_netcdf(fn)
+        elif update_vars is not None:
             update_store(fn, self.grid_desc, self.data, self.attrs,
                          self.var_attrs, update_vars)
         else:
             write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
+
+    def to_netcdf(self, fn):
+        """Write a reference-compatible NetCDF cutout (NetCDF-3 64-bit
+        offset — readable by xarray/netCDF4 everywhere; reference cutouts
+        are written by xarray.to_netcdf, data.py:261)."""
+        from atlite_tpu.io.netcdf import write_netcdf
+
+        g = self.grid_desc
+        fn = Path(fn)
+        dims = {"time": len(g.time), "y": len(g.y), "x": len(g.x)}
+        variables = {
+            "x": (("x",), np.asarray(g.x, dtype="float64"), {}),
+            "y": (("y",), np.asarray(g.y, dtype="float64"), {}),
+            "time": (("time",), np.asarray(g.time), {}),
+        }
+        for name, arr in self.data.items():
+            va = dict(self.var_attrs.get(name, {}))
+            dnames = tuple(va.pop("dims", ("time", "y", "x")))
+            va = {k: v for k, v in va.items() if isinstance(v, (str, int, float))}
+            variables[name] = (dnames, np.asarray(arr), va)
+        attrs = {}
+        for k, v in self.attrs.items():
+            if k == "prepared_features":
+                # netCDF-3 attributes cannot hold string lists
+                v = ", ".join(np.atleast_1d(v))
+            if isinstance(v, (str, int, float, np.integer, np.floating, bool)):
+                attrs[k] = v
+        tmp = fn.with_name(fn.name + ".tmp")
+        write_netcdf(tmp, dims, variables, attrs=attrs)
+        os.replace(tmp, fn)
 
     # ------------------------------------------------------------------ gis
     @property
@@ -504,3 +554,62 @@ class Cutout:
     runoff = runoff
     hydro = hydro
     line_rating = line_rating
+
+
+def _read_netcdf_cutout(path):
+    """Load a reference-format NetCDF cutout into (grid_kwargs, data,
+    attrs, var_attrs) — the same tuple the .atc store loader returns.
+
+    Handles both orientations of the y axis (ERA5 ships descending
+    latitude; the reference sorts ascending via maybe_swap_spatial_dims,
+    gis.py:765-779), lon/lat coordinate aliases, and the per-variable
+    module/feature attrs the reference preparation stamps (data.py:62-67).
+    """
+    from atlite_tpu.io.netcdf import read_netcdf
+
+    dims, variables, attrs = read_netcdf(path)
+    ren = {"lon": "x", "longitude": "x", "lat": "y", "latitude": "y"}
+    variables = {ren.get(k, k): (tuple(ren.get(d, d) for d in dn), arr, va)
+                 for k, (dn, arr, va) in variables.items()}
+    for c in ("x", "y", "time"):
+        if c not in variables:
+            raise ValueError(f"{path}: NetCDF cutout lacks coordinate {c!r}")
+    x = np.asarray(variables.pop("x")[1], dtype=float)
+    y = np.asarray(variables.pop("y")[1], dtype=float)
+    tvals = variables.pop("time")[1]
+    if np.asarray(tvals).dtype.kind != "M":
+        raise ValueError(f"{path}: time coordinate is not CF-decodable")
+    flip_y = len(y) > 1 and y[0] > y[-1]
+    if flip_y:
+        y = y[::-1].copy()
+
+    attrs = dict(attrs)
+    pf = attrs.get("prepared_features", [])
+    if isinstance(pf, str):
+        pf = [s for s in (t.strip() for t in pf.split(",")) if s]
+    attrs["prepared_features"] = list(np.atleast_1d(pf))
+    module = attrs.get("module")
+    feature_of = {}
+    if module is not None:
+        for m in np.atleast_1d(module):
+            for feat, vars_ in datamodules[m].features.items():
+                for v in vars_:
+                    feature_of.setdefault(v, (m, feat))
+
+    data, var_attrs = {}, {}
+    for name, (dnames, arr, va) in variables.items():
+        arr = np.asarray(arr)
+        if "y" in dnames and flip_y:
+            arr = np.flip(arr, axis=dnames.index("y")).copy()
+        va = dict(va)
+        mod_feat = feature_of.get(name, (None, None))
+        var_attrs[name] = {
+            "dims": list(dnames),
+            "module": va.pop("module", mod_feat[0]),
+            "feature": va.pop("feature", mod_feat[1]),
+            **{k: v for k, v in va.items() if isinstance(v, (str, int, float))},
+        }
+        data[name] = arr
+    grid_kwargs = dict(x=x, y=y, time=np.asarray(tvals, dtype="datetime64[ns]"),
+                       crs=4326)
+    return grid_kwargs, data, attrs, var_attrs

@@ -1,0 +1,100 @@
+"""Unified NetCDF front door: magic-byte sniffing + CF time handling.
+
+``read_netcdf`` accepts both NetCDF-3 classic files (CDF-1/CDF-2) and
+NETCDF4 files (HDF5 container, as written by xarray's default engines —
+what every existing reference-stack cutout is,
+/root/reference/atlite/cutout.py:151-154).  ``write_netcdf`` emits
+NetCDF-3 64-bit-offset, readable by every netCDF stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from atlite_tpu.io import netcdf3
+
+_EPOCH_UNITS = ("seconds", "minutes", "hours", "days")
+
+
+def decode_cf_time(values, units, calendar=None):
+    """CF 'X since Y' numeric time -> datetime64[ns] (host-side; device
+    code never sees datetimes)."""
+    parts = units.split(" since ")
+    if len(parts) != 2:
+        raise ValueError(f"unsupported time units {units!r}")
+    step, epoch = parts[0].strip().lower(), parts[1].strip()
+    if step not in _EPOCH_UNITS:
+        raise ValueError(f"unsupported time step {step!r}")
+    origin = pd.Timestamp(epoch)
+    delta = pd.to_timedelta(np.asarray(values, dtype="float64"),
+                            unit=step[0] if step != "minutes" else "m")
+    return (origin + delta).values
+
+
+def encode_cf_time(times, units="hours since 1900-01-01"):
+    origin = pd.Timestamp(units.split(" since ")[1].strip())
+    step = units.split(" since ")[0].strip().lower()
+    ns = (pd.DatetimeIndex(times) - origin).values.astype("timedelta64[ns]")
+    per = {"seconds": 1e9, "minutes": 6e10, "hours": 3.6e12, "days": 8.64e13}[step]
+    return ns.astype("int64") / per
+
+
+def read_netcdf(path, decode_times=True):
+    """Read any supported NetCDF file.
+
+    Returns (dims, variables, attrs) with ``variables`` mapping name ->
+    (dim_names, array, attrs).  With decode_times, a 1-D coordinate
+    variable whose units attr matches CF 'X since Y' becomes
+    datetime64[ns].
+    """
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF":
+        dims, variables, attrs = netcdf3.read(path)
+    elif magic == b"\x89HDF\r\n\x1a\n":
+        from atlite_tpu.io import hdf5
+
+        dims, variables, attrs = hdf5.read_netcdf4(path)
+    else:
+        raise ValueError(f"{path}: not a recognized NetCDF file")
+    if decode_times:
+        out = {}
+        for name, (dnames, arr, vattrs) in variables.items():
+            units = vattrs.get("units")
+            if (isinstance(units, str) and " since " in units
+                    and np.asarray(arr).dtype.kind in "if"):
+                arr = decode_cf_time(arr, units, vattrs.get("calendar"))
+                vattrs = {k: v for k, v in vattrs.items()
+                          if k not in ("units", "calendar")}
+            out[name] = (dnames, arr, vattrs)
+        variables = out
+    return dims, variables, attrs
+
+
+def write_netcdf(path, dims, variables, attrs=None, record_dim=None):
+    """Write NetCDF-3 64-bit-offset.  datetime64 arrays are CF-encoded as
+    float64 'hours since 1900-01-01'; int64 data is cast to int32 when
+    lossless (NetCDF-3 has no 64-bit integer type)."""
+    enc = {}
+    for name, (dnames, arr, vattrs) in variables.items():
+        arr = np.asarray(arr)
+        vattrs = dict(vattrs or {})
+        if arr.dtype.kind == "M":
+            vattrs["units"] = "hours since 1900-01-01"
+            vattrs["calendar"] = "proleptic_gregorian"
+            arr = encode_cf_time(arr)
+        elif arr.dtype.kind == "b":
+            arr = arr.astype(np.int8)
+        elif arr.dtype == np.int64 or arr.dtype == np.uint32 \
+                or arr.dtype == np.uint64:
+            as32 = arr.astype(np.int32)
+            arr = as32 if np.array_equal(as32, arr) else arr.astype(np.float64)
+        elif arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        elif arr.dtype == np.uint16:
+            arr = arr.astype(np.int32)
+        elif arr.dtype == np.uint8:
+            arr = arr.astype(np.int16)
+        enc[name] = (dnames, arr, vattrs)
+    netcdf3.write(path, dims, enc, attrs=attrs, record_dim=record_dim)

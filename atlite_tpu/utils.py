@@ -28,15 +28,70 @@ class CachedAttribute:
 
 
 def migrate_from_cutout_directory(old_cutout_dir, path):
-    """Legacy (pre-v0.2 atlite) cutout directories stored one NetCDF per
-    month (reference utils.py:39-101).  Reading NetCDF requires a decoder
-    outside this build; decode externally and rebuild via
-    ``Cutout(data=..., grid_desc=...)`` + ``to_file``."""
-    raise NotImplementedError(
-        "Legacy atlite cutout directories are NetCDF-based; decode them "
-        "with xarray externally and ingest the arrays via "
-        "Cutout(data=..., grid_desc=...).to_file(path)."
+    """Convert an old-style (pre-v0.2 atlite) cutout directory — one
+    NetCDF per month plus a ``meta.nc`` — into a single new-style cutout
+    file (reference utils.py:39-101), using the self-contained NetCDF
+    decoders in atlite_tpu.io.
+
+    Returns the migrated Cutout (opened from ``path``)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from atlite_tpu.cutout import Cutout, _read_netcdf_cutout
+    from atlite_tpu.datasets import modules as datamodules
+    from atlite_tpu.io.netcdf import read_netcdf
+
+    old_cutout_dir = Path(old_cutout_dir)
+    _, _, meta_attrs = read_netcdf(old_cutout_dir / "meta.nc")
+    module = meta_attrs["module"]
+
+    monthly = sorted(p for p in old_cutout_dir.glob("[12]*.nc"))
+    if not monthly:
+        raise FileNotFoundError(
+            f"no monthly [12]*.nc files found in {old_cutout_dir}"
+        )
+    parts = [_read_netcdf_cutout(p) for p in monthly]
+    # combine by coords along time (reference uses open_mfdataset
+    # combine='by_coords', utils.py:71-73)
+    order = np.argsort([p[0]["time"][0] for p in parts])
+    parts = [parts[i] for i in order]
+    g0 = parts[0][0]
+    for gk, _, _, _ in parts[1:]:
+        if not (np.array_equal(gk["x"], g0["x"])
+                and np.array_equal(gk["y"], g0["y"])):
+            raise ValueError("monthly cutout files have mismatched grids")
+    times = np.concatenate([p[0]["time"] for p in parts])
+    data, var_attrs = {}, {}
+    for name in parts[0][1]:
+        dims = tuple(parts[0][3][name].get("dims", ("time", "y", "x")))
+        if "time" in dims:
+            axis = dims.index("time")
+            data[name] = np.concatenate([p[1][name] for p in parts], axis=axis)
+        else:
+            data[name] = parts[0][1][name]
+        var_attrs[name] = dict(parts[0][3][name])
+
+    attrs = {k: v for k, v in meta_attrs.items() if k != "prepared_features"}
+    attrs["module"] = module
+    attrs["prepared_features"] = list(datamodules[module].features)
+    for name in data:
+        fd = datamodules[module].features.items()
+        features = [k for k, l in fd if name in l]
+        var_attrs[name]["module"] = module
+        var_attrs[name]["feature"] = features.pop() if features else "undefined"
+
+    path = Path(path).with_suffix(".nc")
+    from atlite_tpu.core.grid import Grid
+
+    cutout = Cutout(
+        data=data, grid_desc=Grid(x=g0["x"], y=g0["y"], time=times, crs=4326),
+        attrs=attrs, var_attrs=var_attrs,
     )
+    cutout.to_netcdf(path)
+    logger.info("Writing cutout data to %s. When done, load it again using "
+                "atlite_tpu.Cutout(%r)", path, str(path))
+    return Cutout(path)
 
 
 def ensure_coords(index):

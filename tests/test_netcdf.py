@@ -1,0 +1,279 @@
+"""Self-contained NetCDF IO: netcdf3 codec vs the scipy oracle, the pure-
+Python HDF5 (NETCDF4) reader vs h5py fixtures, Cutout .nc interop and the
+legacy-directory migration (reference cutout.py:149-201, utils.py:39-101)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from atlite_tpu import Cutout
+from atlite_tpu.io import netcdf3
+from atlite_tpu.io.netcdf import read_netcdf, write_netcdf
+
+h5py = pytest.importorskip("h5py")
+from scipy.io import netcdf_file  # noqa: E402
+
+
+def _sample_vars():
+    tvals = np.arange(5, dtype=np.float64) * 3600
+    data = np.arange(60, dtype=np.float32).reshape(5, 3, 4)
+    dims = {"time": 5, "y": 3, "x": 4}
+    variables = {
+        "time": (("time",), tvals, {"units": "hours since 1950-01-01"}),
+        "y": (("y",), np.array([1.0, 2.0, 3.0]), {}),
+        "x": (("x",), np.array([10.0, 11.0, 12.0, 13.0]), {}),
+        "temperature": (("time", "y", "x"), data, {"units": "K"}),
+        "height": (("y", "x"), np.ones((3, 4)), {}),
+    }
+    return dims, variables, tvals, data
+
+
+# ------------------------------------------------------------- netcdf3
+@pytest.mark.parametrize("version", [1, 2])
+def test_netcdf3_write_scipy_reads(tmp_path, version):
+    dims, variables, tvals, data = _sample_vars()
+    fn = tmp_path / "t.nc"
+    netcdf3.write(fn, dims, variables, attrs={"module": "era5", "n": 3},
+                  record_dim="time", version=version)
+    f = netcdf_file(fn, "r", mmap=False)
+    assert f.module.decode() == "era5"
+    assert int(f.n) == 3
+    np.testing.assert_array_equal(f.variables["temperature"][:], data)
+    np.testing.assert_array_equal(f.variables["time"][:], tvals)
+    np.testing.assert_array_equal(f.variables["height"][:], np.ones((3, 4)))
+    assert f.variables["temperature"].units.decode() == "K"
+
+
+def test_netcdf3_scipy_writes_we_read(tmp_path):
+    fn = tmp_path / "s.nc"
+    g = netcdf_file(fn, "w")
+    g.createDimension("time", None)
+    g.createDimension("y", 3)
+    g.history = b"made by scipy"
+    vt = g.createVariable("time", ">f8", ("time",))
+    vt[:] = np.arange(7.0)
+    vv = g.createVariable("v", ">i2", ("time", "y"))
+    vv[:] = np.arange(21, dtype=np.int16).reshape(7, 3)
+    vf = g.createVariable("fix", ">f4", ("y",))
+    vf[:] = [9, 8, 7]
+    vf.units = b"m"
+    g.close()
+    dims, vars_, attrs = netcdf3.read(fn)
+    assert dims == {"time": 7, "y": 3}
+    np.testing.assert_array_equal(vars_["v"][1], np.arange(21).reshape(7, 3))
+    np.testing.assert_array_equal(vars_["time"][1], np.arange(7.0))
+    np.testing.assert_array_equal(vars_["fix"][1], [9, 8, 7])
+    assert attrs["history"] == "made by scipy"
+    assert vars_["fix"][2]["units"] == "m"
+
+
+def test_netcdf3_single_record_var_no_padding(tmp_path):
+    # the classic format's special case: a single record variable packs
+    # records without 4-byte padding
+    fn = tmp_path / "r.nc"
+    g = netcdf_file(fn, "w")
+    g.createDimension("t", None)
+    v = g.createVariable("a", ">i2", ("t",))
+    v[:] = np.arange(5, dtype=np.int16)
+    g.close()
+    _, vars_, _ = netcdf3.read(fn)
+    np.testing.assert_array_equal(vars_["a"][1], np.arange(5))
+
+    fn2 = tmp_path / "w.nc"
+    netcdf3.write(fn2, {"t": 5},
+                  {"a": (("t",), np.arange(5, dtype=np.int16), {})},
+                  record_dim="t")
+    f = netcdf_file(fn2, "r", mmap=False)
+    np.testing.assert_array_equal(f.variables["a"][:], np.arange(5))
+
+
+def test_cf_time_roundtrip(tmp_path):
+    fn = tmp_path / "t.nc"
+    times = pd.date_range("2013-01-01", periods=30, freq="h").values
+    write_netcdf(fn, {"time": 30}, {"time": (("time",), times, {})})
+    _, vars_, _ = read_netcdf(fn)
+    np.testing.assert_array_equal(vars_["time"][1], times)
+
+
+# ----------------------------------------------------------------- hdf5
+def _h5_cutout_fixture(fn, libver=None, y_desc=False, coord_names=("y", "x")):
+    rng = np.random.default_rng(0)
+    T, NY, NX = 6, 4, 5
+    yvals = np.linspace(56, 59, NY)
+    if y_desc:
+        yvals = yvals[::-1]
+    kw = {"libver": libver} if libver else {}
+    with h5py.File(fn, "w", **kw) as f:
+        f.attrs["module"] = "synthetic"
+        f.attrs["prepared_features"] = ["wind", "influx"]
+        t = f.create_dataset("time", data=np.arange(T, dtype="f8"))
+        t.make_scale("time")
+        t.attrs["units"] = "hours since 2013-01-01"
+        y = f.create_dataset(coord_names[0], data=yvals)
+        y.make_scale(coord_names[0])
+        x = f.create_dataset(coord_names[1], data=np.linspace(-3, 0, NX))
+        x.make_scale(coord_names[1])
+        wnd = rng.random((T, NY, NX)).astype("f4") * 10 + 2
+        d = f.create_dataset("wnd100m", data=wnd, chunks=(3, NY, NX),
+                             compression="gzip", shuffle=True)
+        d.dims[0].attach_scale(t)
+        d.dims[1].attach_scale(y)
+        d.dims[2].attach_scale(x)
+        d.attrs["module"] = "synthetic"
+        d.attrs["feature"] = "wind"
+        r = f.create_dataset("roughness", data=np.full((T, NY, NX), 0.1, "f4"))
+        r.dims[0].attach_scale(t)
+        r.dims[1].attach_scale(y)
+        r.dims[2].attach_scale(x)
+        r.attrs["module"] = "synthetic"
+        r.attrs["feature"] = "wind"
+    return wnd, yvals
+
+
+def test_hdf5_reader_vs_h5py(tmp_path):
+    fn = tmp_path / "h.nc"
+    rng = np.random.default_rng(1)
+    big = rng.random((40, 17, 23)).astype("f8")  # multi-chunk b-tree
+    with h5py.File(fn, "w") as f:
+        f.attrs["s"] = "hello"
+        f.attrs["i"] = np.int64(-7)
+        f.attrs["farr"] = np.array([1.5, -2.5, 3.5])
+        f.create_dataset("contig", data=np.arange(12, dtype="i4").reshape(3, 4))
+        f.create_dataset("chunked", data=big, chunks=(7, 5, 6),
+                         compression="gzip", compression_opts=6, shuffle=True)
+        f.create_dataset("scalarish", data=np.float32(2.25))
+    from atlite_tpu.io import hdf5
+
+    out, attrs, _ = hdf5.read(fn)
+    assert attrs["s"] == "hello" and attrs["i"] == -7
+    np.testing.assert_array_equal(attrs["farr"], [1.5, -2.5, 3.5])
+    np.testing.assert_array_equal(out["contig"][0],
+                                  np.arange(12).reshape(3, 4))
+    np.testing.assert_array_equal(out["chunked"][0], big)
+    assert out["scalarish"][0].reshape(()).item() == 2.25
+
+
+def test_hdf5_v2_object_headers(tmp_path):
+    fn = tmp_path / "h2.nc"
+    rng = np.random.default_rng(2)
+    a = rng.random((9, 8)).astype("f4")
+    with h5py.File(fn, "w", libver="latest") as f:
+        f.attrs["k"] = "v2-headers"
+        f.create_dataset("a", data=a, chunks=(4, 8), compression="gzip")
+    from atlite_tpu.io import hdf5
+
+    out, attrs, _ = hdf5.read(fn)
+    assert attrs["k"] == "v2-headers"
+    np.testing.assert_array_equal(out["a"][0], a)
+
+
+def test_hdf5_netcdf4_dimension_scales(tmp_path):
+    fn = tmp_path / "c.nc"
+    wnd, _ = _h5_cutout_fixture(fn)
+    from atlite_tpu.io import hdf5
+
+    dims, variables, attrs = hdf5.read_netcdf4(fn)
+    assert dims["time"] == 6 and dims["y"] == 4 and dims["x"] == 5
+    assert variables["wnd100m"][0] == ("time", "y", "x")
+    np.testing.assert_array_equal(variables["wnd100m"][1], wnd)
+    assert attrs["module"] == "synthetic"
+    assert list(attrs["prepared_features"]) == ["wind", "influx"]
+
+
+# --------------------------------------------------------- Cutout interop
+def test_cutout_nc_roundtrip_and_convert(tmp_path):
+    c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
+               time="2013-01-01")
+    c.prepare()
+    fn = tmp_path / "cut.nc"
+    c.to_netcdf(fn)
+    c2 = Cutout(fn)
+    assert c2.prepared
+    assert c2.shape == c.shape
+    np.testing.assert_allclose(np.asarray(c2.data["wnd100m"]),
+                               np.asarray(c.data["wnd100m"]), rtol=1e-6)
+    w1 = c.wind("Vestas_V112_3MW", aggregate_time=None)
+    w2 = c2.wind("Vestas_V112_3MW", aggregate_time=None)
+    np.testing.assert_allclose(np.asarray(w2.values), np.asarray(w1.values),
+                               rtol=1e-5)
+    # byte-stable rewrite
+    fn2 = tmp_path / "cut2.nc"
+    c2.to_netcdf(fn2)
+    c2.to_netcdf(tmp_path / "cut3.nc")
+    assert (tmp_path / "cut2.nc").read_bytes() == (tmp_path / "cut3.nc").read_bytes()
+
+
+def test_cutout_loads_reference_style_netcdf4(tmp_path):
+    """A NETCDF4/HDF5 cutout as the reference stack writes it (dimension
+    scales, vlen-string prepared_features, per-variable module/feature
+    attrs, descending latitude) loads and converts."""
+    fn = tmp_path / "ref.nc"
+    wnd, yvals = _h5_cutout_fixture(fn, y_desc=True)
+    c = Cutout(fn)
+    g = c.grid_desc
+    assert g.y[0] < g.y[-1]  # normalized ascending
+    # y was flipped: row 0 of the stored (descending) array is the TOP
+    np.testing.assert_array_equal(np.asarray(c.data["wnd100m"])[:, ::-1, :], wnd)
+    feats = set(c.prepared_features.index.get_level_values("feature"))
+    assert feats == {"wind"}
+    out = c.wind(turbine="Vestas_V112_3MW", aggregate_time=None)
+    vals = np.asarray(out.values)
+    assert vals.shape == (6, 4, 5)
+    assert np.all(np.isfinite(vals)) and vals.max() > 0
+
+
+def test_cutout_loads_lon_lat_named_coords(tmp_path):
+    fn = tmp_path / "ll.nc"
+    _h5_cutout_fixture(fn, coord_names=("lat", "lon"))
+    c = Cutout(fn)
+    assert c.shape == (4, 5)
+
+
+def test_prepare_writes_nc_cutout(tmp_path):
+    fn = tmp_path / "p.nc"
+    c = Cutout(fn, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
+               time="2013-01-01")
+    c.prepare(features=["wind"])
+    assert fn.exists()
+    c2 = Cutout(fn)
+    feats = set(c2.prepared_features.index.get_level_values("feature"))
+    assert feats == {"wind"}
+    c2.prepare()  # resume: fetch the rest
+    assert c2.prepared
+    c3 = Cutout(fn)
+    assert c3.prepared
+
+
+# -------------------------------------------------------------- migration
+def test_migrate_from_cutout_directory(tmp_path):
+    from atlite_tpu.utils import migrate_from_cutout_directory
+
+    old = tmp_path / "old-cutout"
+    old.mkdir()
+    base = Cutout(path=None, module="synthetic", x=slice(-3, 0),
+                  y=slice(56, 59), time=slice("2013-01", "2013-02"))
+    base.prepare(features=["wind"])
+    T = len(base.grid_desc.time)
+    jan = base.grid_desc.time_index.month == 1
+    # meta.nc: coords + attrs only
+    meta = Cutout(
+        data={}, grid_desc=base.grid_desc,
+        attrs={"module": "synthetic"}, var_attrs={},
+    )
+    meta.to_netcdf(old / "meta.nc")
+    for sel, name in ((jan, "201301.nc"), (~jan, "201302.nc")):
+        from atlite_tpu.core.grid import Grid
+
+        part = Cutout(
+            data={k: np.asarray(v)[sel] for k, v in base.data.items()},
+            grid_desc=Grid(x=base.grid_desc.x, y=base.grid_desc.y,
+                           time=base.grid_desc.time[sel], crs=4326),
+            attrs={"module": "synthetic"}, var_attrs=base.var_attrs,
+        )
+        part.to_netcdf(old / name)
+
+    migrated = migrate_from_cutout_directory(old, tmp_path / "new")
+    assert (tmp_path / "new.nc").exists()
+    assert len(migrated.grid_desc.time) == T
+    np.testing.assert_allclose(np.asarray(migrated.data["wnd100m"]),
+                               np.asarray(base.data["wnd100m"]), rtol=1e-6)
