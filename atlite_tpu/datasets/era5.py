@@ -17,6 +17,7 @@ are importable and unit-tested independently via array inputs.
 from __future__ import annotations
 
 import logging
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -150,18 +151,262 @@ def retrieval_times(time_index, static=False, monthly_requests=False):
     return queries
 
 
-def get_data(cutout, feature, tmpdir=None, monthly_requests=False,
-             concurrent_requests=False, **creation_parameters):
-    """Retrieve ERA5 data for one feature via the CDS API."""
+# shortName -> CDS request variable name (reference era5.py:108-118,
+# 151-157, 211-217, 237, 254)
+CDS_NAMES = {
+    "u10": "10m_u_component_of_wind",
+    "v10": "10m_v_component_of_wind",
+    "u100": "100m_u_component_of_wind",
+    "v100": "100m_v_component_of_wind",
+    "fsr": "forecast_surface_roughness",
+    "ssr": "surface_net_solar_radiation",
+    "ssrd": "surface_solar_radiation_downwards",
+    "tisr": "toa_incident_solar_radiation",
+    "fdir": "total_sky_direct_solar_radiation_at_surface",
+    "t2m": "2m_temperature",
+    "stl4": "soil_temperature_level_4",
+    "d2m": "2m_dewpoint_temperature",
+    "ro": "runoff",
+    "z": "geopotential",
+}
+FEATURE_SHORTNAMES = {
+    "wind": ["u10", "v10", "u100", "v100", "fsr"],
+    "influx": ["ssr", "ssrd", "tisr", "fdir"],
+    "temperature": ["t2m", "stl4", "d2m"],
+    "runoff": ["ro"],
+    "height": ["z"],
+}
+PRODUCT = "reanalysis-era5-single-levels"
+
+
+def _open_raw(path):
+    """Decode one downloaded/offline ERA5 file (GRIB 1/2 or NetCDF).
+
+    Returns ({shortName: (T, Y, X) array}, coords) with ascending y and
+    datetime64[ns] time (the local analog of the reference's
+    open_with_grib_conventions + _rename_and_clean_coords,
+    era5.py:84-101,352-429)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:4] == b"GRIB" or b"GRIB" in magic:
+        from atlite_tpu.io import grib
+
+        data, coords = grib.to_dataset(grib.read(path))
+        return {k: v[1] for k, v in data.items()}, coords
+    from atlite_tpu.io.netcdf import read_netcdf
+
+    dims, variables, _ = read_netcdf(path)
+    ren = {"longitude": "x", "latitude": "y", "lon": "x", "lat": "y",
+           "valid_time": "time"}
+    coords, fields = {}, {}
+    for name, (dnames, arr, vattrs) in variables.items():
+        name = ren.get(name, name)
+        dnames = tuple(ren.get(d, d) for d in dnames)
+        if name in ("x", "y", "time"):
+            coords[name] = np.asarray(arr)
+        elif name in ("expver", "number"):
+            continue  # ERA5T bookkeeping coords (reference era5.py:101)
+        elif set(dnames) >= {"y", "x"}:
+            fields[name] = (dnames, np.asarray(arr, dtype=np.float64))
+    y = coords["y"]
+    flip = len(y) > 1 and y[0] > y[-1]
+    out = {}
+    for name, (dnames, arr) in fields.items():
+        if dnames[-2:] != ("y", "x"):
+            order = [dnames.index(d) for d in ("time", "y", "x") if d in dnames]
+            arr = np.transpose(arr, order)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if flip:
+            arr = arr[:, ::-1]
+        out[name] = arr
+    coords["y"] = np.round(y[::-1] if flip else y, 5)
+    coords["x"] = np.round(coords["x"], 5)
+    if coords["time"].dtype.kind != "M":
+        raise ValueError(f"{path}: undecodable time coordinate")
+    return out, coords
+
+
+def _concat_time(parts):
+    """Merge per-request datasets along time (sorted, unique)."""
+    fields = {}
+    coords0 = parts[0][1]
+    times = np.concatenate([np.asarray(c["time"], dtype="datetime64[ns]")
+                            for _, c in parts])
+    order = np.argsort(times, kind="stable")
+    uniq, first_idx = np.unique(times[order], return_index=True)
+    sel = order[first_idx]
+    bounds = np.cumsum([0] + [len(c["time"]) for _, c in parts])
+    for name in parts[0][0]:
+        stacked = np.concatenate([p[name] for p, _ in parts], axis=0)
+        fields[name] = stacked[sel]
+    coords = dict(coords0)
+    coords["time"] = uniq
+    return fields, coords
+
+
+def _indexer(have, want, name):
+    have_r = np.round(np.asarray(have, dtype=float), 5)
+    want_r = np.round(np.asarray(want, dtype=float), 5)
+    pos = {v: i for i, v in enumerate(have_r)}
     try:
-        import cdsapi  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "ERA5 retrieval requires the 'cdsapi' package (and CDS "
-            "credentials). In offline environments use module='synthetic' "
-            "or ingest pre-downloaded arrays with Cutout(data=...)."
-        ) from exc
-    raise NotImplementedError(
-        "CDS retrieval needs a NetCDF4/GRIB decoder which is not part of "
-        "this build; ingest pre-downloaded arrays with Cutout(data=...)."
-    )
+        return np.array([pos[v] for v in want_r], dtype=np.int64)
+    except KeyError as exc:
+        raise ValueError(
+            f"ERA5 file does not cover the cutout's {name} lattice "
+            f"(missing {exc.args[0]}; file has "
+            f"[{have_r.min()}..{have_r.max()}])"
+        ) from None
+
+
+def _align(fields, coords, cutout_grid):
+    """Select the cutout's lattice out of the decoded arrays (the
+    reference relies on requesting the exact grid + rounded coords,
+    era5.py:92-95; local files may cover a superset)."""
+    iy = _indexer(coords["y"], cutout_grid.y, "y")
+    ix = _indexer(coords["x"], cutout_grid.x, "x")
+    want_t = np.asarray(cutout_grid.time, dtype="datetime64[ns]")
+    have_t = np.asarray(coords["time"], dtype="datetime64[ns]")
+    tpos = {v: i for i, v in enumerate(have_t)}
+    missing = [str(t) for t in want_t if t not in tpos]
+    if missing:
+        raise ValueError(
+            f"ERA5 file lacks {len(missing)} requested timestamps "
+            f"(first: {missing[0]})"
+        )
+    it = np.array([tpos[t] for t in want_t], dtype=np.int64)
+    return {k: v[it][:, iy][:, :, ix] for k, v in fields.items()}
+
+
+def _retrieve_feature(cutout, shorts, tmpdir, monthly_requests,
+                      concurrent_requests, static, data_format="grib",
+                      product=PRODUCT):
+    """Download via the CDS API and decode (reference retrieve_data,
+    era5.py:432-517)."""
+    import tempfile
+
+    from atlite_tpu.io import cds
+
+    grid = cutout.grid_desc
+    client = cds.Client()
+    time_index = grid.time_index
+    chunks = retrieval_times(time_index, static=static,
+                             monthly_requests=monthly_requests)
+    if isinstance(chunks, dict):
+        chunks = [chunks]
+    tmpdir = tmpdir or tempfile.gettempdir()
+
+    def fetch(req):
+        request = {
+            "product_type": ["reanalysis"],
+            "download_format": "unarchived",
+            "data_format": data_format,
+            "variable": [CDS_NAMES[s] for s in shorts],
+            "area": _area(grid),
+            "grid": [abs(float(grid.dx)), abs(float(grid.dy))],
+            **req,
+        }
+        fd, target = tempfile.mkstemp(suffix=f".{data_format}", dir=tmpdir)
+        import os
+
+        os.close(fd)
+        logger.info("CDS: downloading %s (%s)", shorts, req.get("year"))
+        with cds.file_lock(target):
+            client.retrieve(product, request, target)
+        return _open_raw(target)
+
+    parts = cds.map_requests(fetch, chunks, concurrent=concurrent_requests)
+    return _concat_time(parts) if len(parts) > 1 else parts[0]
+
+
+def get_data(cutout, feature, tmpdir=None, monthly_requests=False,
+             concurrent_requests=False, sanitize=True, era5_files=None,
+             **creation_parameters):
+    """Load/retrieve and derive one ERA5 feature (reference get_data,
+    era5.py:520-599).
+
+    ``era5_files`` (also honored as a cutout attr): path / glob / list of
+    pre-downloaded ERA5 GRIB or NetCDF files for fully offline operation —
+    decoded with the self-contained codecs in atlite_tpu.io.  Without it,
+    the data is retrieved from the CDS API (credentials required).
+    """
+    import glob as _glob
+
+    era5_files = era5_files or creation_parameters.get("era5_files")
+    shorts = FEATURE_SHORTNAMES[feature]
+    static = feature in static_features
+    grid = cutout.grid_desc
+
+    if era5_files:
+        if isinstance(era5_files, (str, Path)):
+            matches = sorted(_glob.glob(str(era5_files)))
+            paths = matches if matches else [era5_files]
+        else:
+            paths = list(era5_files)
+        parts = [_open_raw(p) for p in paths]
+        fields, coords = _concat_time(parts) if len(parts) > 1 else parts[0]
+        missing = [s for s in shorts if s not in fields]
+        if missing:
+            raise ValueError(
+                f"ERA5 files lack variables {missing} for feature "
+                f"'{feature}' (have {sorted(fields)})"
+            )
+        if static:
+            # static fields: take the first available timestamp
+            fields = {k: v for k, v in fields.items() if k in shorts}
+            sub = {k: _align_static(v, coords, grid) for k, v in fields.items()}
+        else:
+            sub = _align({k: fields[k] for k in shorts}, coords, grid)
+    else:
+        fields, coords = _retrieve_feature(
+            cutout, shorts, tmpdir, monthly_requests, concurrent_requests,
+            static, data_format=creation_parameters.get("data_format", "grib"),
+        )
+        if static:
+            sub = {k: _align_static(fields[k], coords, grid) for k in shorts}
+        else:
+            sub = _align({k: fields[k] for k in shorts}, coords, grid)
+
+    times = grid.time_index
+    lon, lat = np.asarray(grid.x), np.asarray(grid.y)
+
+    if feature == "wind":
+        ds = derive_wind(sub["u100"], sub["v100"], sub["u10"], sub["v10"],
+                         sub["fsr"])
+        ds["wnd10m"] = np.sqrt(sub["u10"] ** 2 + sub["v10"] ** 2)
+        if sanitize:
+            ds = sanitize_wind(ds)
+    elif feature == "influx":
+        ds = derive_influx(sub["ssrd"], sub["ssr"], sub["tisr"], sub["fdir"],
+                           times, lon, lat)
+        if sanitize:
+            ds = sanitize_influx(ds)
+    elif feature == "temperature":
+        ds = {
+            "temperature": sub["t2m"],
+            "soil temperature": sub["stl4"],
+            "dewpoint temperature": sub["d2m"],
+        }
+    elif feature == "runoff":
+        ds = {"runoff": sub["ro"]}
+        if sanitize:
+            ds = sanitize_runoff(ds)
+    elif feature == "height":
+        ds = {"height": derive_height(sub["z"])}
+    else:
+        raise ValueError(f"unknown ERA5 feature {feature!r}")
+
+    out = {}
+    for name, arr in ds.items():
+        arr = np.asarray(arr)
+        dims = ("y", "x") if arr.ndim == 2 else ("time", "y", "x")
+        out[name] = (dims, arr.astype(np.float32))
+    return out
+
+
+def _align_static(arr, coords, grid):
+    """Static (height) fields: first available time slice on the cutout
+    lattice (static features request one timestamp, era5.py:266-279)."""
+    iy = _indexer(coords["y"], grid.y, "y")
+    ix = _indexer(coords["x"], grid.x, "x")
+    return np.asarray(arr)[0][iy][:, ix]

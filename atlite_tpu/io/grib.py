@@ -1,0 +1,667 @@
+"""GRIB edition 1 + edition 2 codec, pure Python (no eccodes/cfgrib).
+
+ERA5 from the CDS/MARS archive ships as GRIB **edition 1** with ECMWF
+local parameter tables (the reference decodes it through cfgrib/eccodes,
+/root/reference/atlite/datasets/era5.py:352-429); the CDS "netcdf" option
+is handled by atlite_tpu.io.netcdf.  This module implements:
+
+- GRIB1: full decode of the ERA5 subset — PDS with ECMWF local
+  definitions, lat/lon GDS, bitmap section, simple packing with IBM-370
+  32-bit reference floats and sign-magnitude integers — plus an encoder
+  used for test fixtures and offline round-trips.
+- GRIB2: sections 0-8 with grid template 3.0 (regular lat/lon), product
+  template 4.0, data representation 5.0 (simple packing, IEEE ref float)
+  decode + encode, and 5.2/5.3 (complex packing / spatial differencing)
+  decode.
+
+Format layouts follow the public WMO FM 92 GRIB specifications.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared bit utilities
+# ---------------------------------------------------------------------------
+
+
+def _unpack_bits(buf, nbits, count, bit_offset=0):
+    """Unpack `count` big-endian unsigned ints of width nbits."""
+    if nbits == 0:
+        return np.zeros(count, dtype=np.int64)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    total = bit_offset + nbits * count
+    nbytes = (total + 7) // 8
+    a = a[:nbytes]
+    bits = np.unpackbits(a)[bit_offset:bit_offset + nbits * count]
+    bits = bits.reshape(count, nbits).astype(np.int64)
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    return bits @ weights
+
+
+def _pack_bits(values, nbits):
+    """Pack unsigned ints into a big-endian bitstream, zero-padded."""
+    if nbits == 0:
+        return b""
+    v = np.asarray(values, dtype=np.int64)
+    bits = ((v[:, None] >> np.arange(nbits - 1, -1, -1, dtype=np.int64)) & 1)
+    return np.packbits(bits.astype(np.uint8).ravel()).tobytes()
+
+
+def _ibm32_decode(b):
+    """IBM System/370 32-bit float (GRIB1 reference values)."""
+    w = int.from_bytes(b, "big")
+    sign = -1.0 if (w >> 31) else 1.0
+    exponent = (w >> 24) & 0x7F
+    mantissa = w & 0xFFFFFF
+    return sign * mantissa * 16.0 ** (exponent - 64) / 2**24
+
+
+def _ibm32_encode(x):
+    if x == 0:
+        return b"\x00\x00\x00\x00"
+    sign = 0x80000000 if x < 0 else 0
+    x = abs(x)
+    # find e with mantissa in [1/16, 1): x = m * 16^(e-64), m*2^24 int
+    import math
+
+    e = int(math.ceil(math.log(x, 16))) + 64
+    m = int(round(x / 16.0 ** (e - 64) * 2**24))
+    while m >= 2**24:
+        m >>= 4
+        e += 1
+    while m and m < 2**20:  # normalize
+        m <<= 4
+        e -= 1
+    return struct.pack(">I", sign | (e << 24) | m)
+
+
+def _sm16(b):
+    """GRIB1 16-bit sign-magnitude integer."""
+    v = int.from_bytes(b, "big")
+    return -(v & 0x7FFF) if (v & 0x8000) else v
+
+
+def _sm16_encode(v):
+    return struct.pack(">H", (0x8000 | -v) if v < 0 else v)
+
+
+def _sm24(b):
+    v = int.from_bytes(b, "big")
+    return -(v & 0x7FFFFF) if (v & 0x800000) else v
+
+
+def _sm24_encode(v):
+    u = (0x800000 | -v) if v < 0 else v
+    return u.to_bytes(3, "big")
+
+
+# ---------------------------------------------------------------------------
+# GRIB1
+# ---------------------------------------------------------------------------
+# (table2Version, indicatorOfParameter) -> ERA5 shortName
+GRIB1_PARAMS = {
+    (128, 129): "z", (128, 165): "u10", (128, 166): "v10",
+    (228, 246): "u100", (228, 247): "v100", (128, 244): "fsr",
+    (128, 167): "t2m", (128, 236): "stl4", (128, 168): "d2m",
+    (128, 176): "ssr", (128, 169): "ssrd", (128, 212): "tisr",
+    (228, 21): "fdir", (128, 205): "ro",
+}
+GRIB1_PARAMS_INV = {v: k for k, v in GRIB1_PARAMS.items()}
+
+
+def _decode_grib1_message(buf, off):
+    """Decode one GRIB1 message at `off`; returns (record dict, next_off)."""
+    assert buf[off:off + 4] == b"GRIB"
+    total = int.from_bytes(buf[off + 4:off + 7], "big")
+    edition = buf[off + 7]
+    assert edition == 1
+    pos = off + 8
+
+    # --- PDS
+    pds_len = int.from_bytes(buf[pos:pos + 3], "big")
+    pds = buf[pos:pos + pds_len]
+    table2 = pds[3]
+    flags = pds[7]
+    has_gds, has_bms = bool(flags & 0x80), bool(flags & 0x40)
+    param = pds[8]
+    level_type = pds[9]
+    level = int.from_bytes(pds[10:12], "big")
+    yy, mm, dd, hh, mi = pds[12], pds[13], pds[14], pds[15], pds[16]
+    time_unit, p1, p2, tri = pds[17], pds[18], pds[19], pds[20]
+    century = pds[24]
+    dec_scale = _sm16(pds[26:28])
+    year = (century - 1) * 100 + yy
+    step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0}.get(
+        time_unit, 1.0)
+    if tri == 4:  # accumulation over (P1, P2): labelled by interval end
+        step = p2 * step_h
+    else:
+        step = p1 * step_h
+    ref = np.datetime64(f"{year:04d}-{mm:02d}-{dd:02d}T{hh:02d}:{mi:02d}")
+    valid_time = ref + np.timedelta64(int(round(step * 60)), "m")
+    pos += pds_len
+
+    # --- GDS
+    if not has_gds:
+        raise NotImplementedError("GRIB1 message without GDS")
+    gds_len = int.from_bytes(buf[pos:pos + 3], "big")
+    gds = buf[pos:pos + gds_len]
+    drt = gds[5]
+    if drt != 0:
+        raise NotImplementedError(f"GRIB1 grid type {drt} (only lat/lon)")
+    ni = int.from_bytes(gds[6:8], "big")
+    nj = int.from_bytes(gds[8:10], "big")
+    lat1 = _sm24(gds[10:13]) / 1000.0
+    lon1 = _sm24(gds[13:16]) / 1000.0
+    lat2 = _sm24(gds[17:20]) / 1000.0
+    lon2 = _sm24(gds[20:23]) / 1000.0
+    scan = gds[27]
+    pos += gds_len
+
+    # --- BMS
+    bitmap = None
+    if has_bms:
+        bms_len = int.from_bytes(buf[pos:pos + 3], "big")
+        unused = buf[pos + 3]
+        table_ref = int.from_bytes(buf[pos + 4:pos + 6], "big")
+        if table_ref != 0:
+            raise NotImplementedError("predefined GRIB1 bitmaps")
+        nbits_total = (bms_len - 6) * 8 - unused
+        bitmap = _unpack_bits(buf[pos + 6:pos + bms_len], 1,
+                              nbits_total).astype(bool)
+        pos += bms_len
+
+    # --- BDS
+    bds_len = int.from_bytes(buf[pos:pos + 3], "big")
+    bds_flags = buf[pos + 3]
+    if bds_flags & 0xC0:
+        raise NotImplementedError("GRIB1 spherical-harmonic/complex packing")
+    unused_bits = bds_flags & 0x0F
+    bin_scale = _sm16(buf[pos + 4:pos + 6])
+    ref_value = _ibm32_decode(buf[pos + 6:pos + 10])
+    nbits = buf[pos + 10]
+    data_bytes = buf[pos + 11:pos + bds_len]
+    npoints = ni * nj if bitmap is None else int(bitmap[:ni * nj].sum())
+    if nbits:
+        x = _unpack_bits(data_bytes, nbits, npoints)
+        vals = ref_value + x.astype(np.float64) * 2.0 ** bin_scale
+    else:
+        vals = np.full(npoints, ref_value)
+    vals = vals * 10.0 ** (-dec_scale)
+    if bitmap is not None:
+        full = np.full(ni * nj, np.nan)
+        full[bitmap[:ni * nj]] = vals
+        vals = full
+    grid = vals.reshape(nj, ni)
+    # scanning mode bit 2 (0x40): +j direction (south->north)
+    lats = np.linspace(lat1, lat2, nj)
+    lons = np.linspace(lon1, lon2, ni)
+    pos += bds_len
+    assert buf[off + total - 4:off + total] == b"7777", "missing GRIB1 end"
+
+    short = GRIB1_PARAMS.get((table2, param), f"p{table2}.{param}")
+    return {
+        "shortName": short, "values": grid, "lats": lats, "lons": lons,
+        "valid_time": valid_time, "level_type": level_type, "level": level,
+        "edition": 1, "param": (table2, param),
+    }, off + total
+
+
+def encode_grib1(records):
+    """Encode records (dicts with shortName/values/lats/lons/valid_time,
+    optional nbits/dec_scale) into a GRIB1 byte stream.  Used for test
+    fixtures and offline archiving."""
+    out = []
+    for rec in records:
+        vals = np.asarray(rec["values"], dtype=np.float64)
+        lats = np.asarray(rec["lats"], dtype=float)
+        lons = np.asarray(rec["lons"], dtype=float)
+        nj, ni = vals.shape
+        t = np.datetime64(rec["valid_time"], "m").astype("datetime64[m]")
+        tt = t.astype(object)
+        table2, param = GRIB1_PARAMS_INV.get(
+            rec["shortName"], rec.get("param", (128, 255)))
+        nbits = int(rec.get("nbits", 16))
+        dec_scale = int(rec.get("dec_scale", 0))
+
+        mask = np.isfinite(vals)
+        has_bms = not mask.all()
+        flat = vals.ravel()[mask.ravel()] * 10.0 ** dec_scale
+        vmin = float(flat.min()) if flat.size else 0.0
+        vmax = float(flat.max()) if flat.size else 0.0
+        # choose binary scale so the range fits nbits
+        if flat.size and vmax > vmin and nbits:
+            e = int(np.ceil(np.log2((vmax - vmin) / (2**nbits - 1))))
+        else:
+            e = 0
+        ref = vmin
+        ref_enc = _ibm32_encode(ref)
+        ref_dec = _ibm32_decode(ref_enc)  # quantize through IBM float
+        x = np.round((flat - ref_dec) / 2.0 ** e).astype(np.int64)
+        x = np.clip(x, 0, 2**nbits - 1) if nbits else x
+
+        century, yy = divmod(tt.year - 1, 100)
+        pds = bytearray(28)
+        pds[0:3] = (28).to_bytes(3, "big")
+        pds[3] = table2
+        pds[4] = 98  # ECMWF
+        pds[5] = 0
+        pds[6] = 255
+        pds[7] = 0x80 | (0x40 if has_bms else 0)
+        pds[8] = param
+        pds[9] = 1  # surface
+        pds[10:12] = (0).to_bytes(2, "big")
+        pds[12], pds[13], pds[14] = yy + 1, tt.month, tt.day
+        pds[15], pds[16] = tt.hour, tt.minute
+        pds[17], pds[18], pds[19], pds[20] = 1, 0, 0, 0
+        pds[21:23] = (0).to_bytes(2, "big")
+        pds[23] = 0
+        pds[24] = century + 1
+        pds[25] = 0
+        pds[26:28] = _sm16_encode(dec_scale)
+
+        gds = bytearray(32)
+        gds[0:3] = (32).to_bytes(3, "big")
+        gds[3] = 0
+        gds[4] = 255
+        gds[5] = 0  # lat/lon
+        gds[6:8] = struct.pack(">H", ni)
+        gds[8:10] = struct.pack(">H", nj)
+        gds[10:13] = _sm24_encode(int(round(lats[0] * 1000)))
+        gds[13:16] = _sm24_encode(int(round(lons[0] * 1000)))
+        gds[16] = 0x80  # resolution/direction increments given
+        gds[17:20] = _sm24_encode(int(round(lats[-1] * 1000)))
+        gds[20:23] = _sm24_encode(int(round(lons[-1] * 1000)))
+        di = abs(lons[1] - lons[0]) if ni > 1 else 0
+        dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+        gds[23:25] = struct.pack(">H", int(round(di * 1000)))
+        gds[25:27] = struct.pack(">H", int(round(dj * 1000)))
+        gds[27] = 0x40 if (nj > 1 and lats[1] > lats[0]) else 0
+        # octets 29-32 reserved (zeros)
+
+        bms = b""
+        if has_bms:
+            bits = _pack_bits(mask.ravel().astype(np.int64), 1)
+            unused = (8 - (mask.size % 8)) % 8
+            bms_len = 6 + len(bits)
+            if bms_len % 2:
+                bits += b"\x00"
+                bms_len += 1
+                unused += 8
+            bms = (bms_len.to_bytes(3, "big") + bytes([unused])
+                   + b"\x00\x00" + bits)
+
+        packed = _pack_bits(x, nbits)
+        bds_len = 11 + len(packed)
+        pad = bds_len % 2
+        bds_len += pad
+        unused_bits = (len(packed) * 8 - nbits * len(x)) + 8 * pad
+        bds = ((bds_len).to_bytes(3, "big") + bytes([unused_bits & 0x0F])
+               + _sm16_encode(e) + ref_enc + bytes([nbits]) + packed
+               + b"\x00" * pad)
+
+        body = bytes(pds) + bytes(gds) + bms + bds + b"7777"
+        total = 8 + len(body)
+        out.append(b"GRIB" + total.to_bytes(3, "big") + bytes([1]) + body)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# GRIB2
+# ---------------------------------------------------------------------------
+# (discipline, category, number, levelType, levelValue) -> shortName
+GRIB2_PARAMS = {
+    (0, 2, 2, 103, 10): "u10", (0, 2, 3, 103, 10): "v10",
+    (0, 2, 2, 103, 100): "u100", (0, 2, 3, 103, 100): "v100",
+    (0, 0, 0, 103, 2): "t2m", (0, 0, 6, 103, 2): "d2m",
+    (0, 4, 9, 1, 0): "ssr", (0, 4, 7, 1, 0): "ssrd",
+    (0, 4, 13, 1, 0): "fdir", (0, 4, 1, 8, 0): "tisr",
+    (2, 0, 5, 1, 0): "ro", (0, 3, 4, 1, 0): "z",
+    (2, 0, 1, 1, 0): "fsr", (2, 3, 18, 106, 0): "stl4",
+}
+GRIB2_PARAMS_INV = {v: k for k, v in GRIB2_PARAMS.items()}
+
+
+def _decode_grib2_message(buf, off):
+    assert buf[off:off + 4] == b"GRIB"
+    discipline = buf[off + 6]
+    edition = buf[off + 7]
+    assert edition == 2
+    total = int.from_bytes(buf[off + 8:off + 16], "big")
+    pos = off + 16
+    end = off + total
+
+    meta = {"discipline": discipline}
+    grids = []
+    while pos < end - 4:
+        if buf[pos:pos + 4] == b"7777":
+            break
+        sec_len = int.from_bytes(buf[pos:pos + 4], "big")
+        sec_num = buf[pos + 4]
+        body = pos + 5
+        if sec_num == 1:
+            year = int.from_bytes(buf[body + 7:body + 9], "big")
+            mo, dy, hr, mi = buf[body + 9], buf[body + 10], buf[body + 11], \
+                buf[body + 12]
+            meta["ref_time"] = np.datetime64(
+                f"{year:04d}-{mo:02d}-{dy:02d}T{hr:02d}:{mi:02d}")
+        elif sec_num == 3:
+            tmpl = int.from_bytes(buf[body + 7:body + 9], "big")
+            if tmpl != 0:
+                raise NotImplementedError(f"GRIB2 grid template {tmpl}")
+            g = body + 9
+            ni = int.from_bytes(buf[g + 16:g + 20], "big")
+            nj = int.from_bytes(buf[g + 20:g + 24], "big")
+
+            def s32(o):
+                v = int.from_bytes(buf[g + o:g + o + 4], "big")
+                return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+
+            lat1 = s32(32) / 1e6
+            lon1 = s32(36) / 1e6
+            lat2 = s32(41) / 1e6
+            lon2 = s32(45) / 1e6
+            scan = buf[g + 57]
+            meta.update(ni=ni, nj=nj,
+                        lats=np.linspace(lat1, lat2, nj),
+                        lons=np.linspace(lon1, lon2, ni))
+        elif sec_num == 4:
+            tmpl = int.from_bytes(buf[body + 2:body + 4], "big")
+            # template 4.0 octets (1-based in section): 10 category,
+            # 11 number, 18 time unit, 19-22 forecast time, 23 first
+            # surface type, 24 scale factor, 25-28 scaled value
+            p = body + 4
+            cat, num = buf[p], buf[p + 1]
+            unit = buf[p + 8]
+            fcst = int.from_bytes(buf[p + 9:p + 13], "big")
+            lev_type = buf[p + 13]
+            lev_scale = buf[p + 14]
+            lev_val = int.from_bytes(buf[p + 15:p + 19], "big")
+            step_h = {0: 1 / 60, 1: 1.0, 2: 24.0}.get(unit, 1.0)
+            meta.update(category=cat, number=num,
+                        level_type=lev_type,
+                        level=lev_val / 10 ** lev_scale if lev_scale < 120 else lev_val,
+                        step=fcst * step_h)
+        elif sec_num == 5:
+            ndata = int.from_bytes(buf[body:body + 4], "big")
+            tmpl = int.from_bytes(buf[body + 4:body + 6], "big")
+            d = body + 6
+            ref = struct.unpack(">f", buf[d:d + 4])[0]
+            e = _sm16(buf[d + 4:d + 6])
+            dec = _sm16(buf[d + 6:d + 8])
+            nbits = buf[d + 8]
+            meta.update(ndata=ndata, drs_template=tmpl, ref=ref,
+                        bin_scale=e, dec_scale=dec, nbits=nbits)
+            if tmpl in (2, 3):
+                # complex packing descriptors (templates 5.2/5.3)
+                meta["group_split"] = buf[d + 10]
+                meta["missing_mgmt"] = buf[d + 11]
+                meta["ngroups"] = int.from_bytes(buf[d + 20:d + 24], "big")
+                meta["group_width_ref"] = buf[d + 24]
+                meta["group_width_bits"] = buf[d + 25]
+                meta["group_len_ref"] = int.from_bytes(buf[d + 26:d + 30], "big")
+                meta["group_len_inc"] = buf[d + 30]
+                meta["group_len_last"] = int.from_bytes(buf[d + 31:d + 35], "big")
+                meta["group_len_bits"] = buf[d + 35]
+                if tmpl == 3:
+                    meta["spatial_order"] = buf[d + 36]
+                    meta["spatial_desc_bytes"] = buf[d + 37]
+            elif tmpl != 0:
+                raise NotImplementedError(f"GRIB2 DRS template {tmpl}")
+        elif sec_num == 6:
+            ind = buf[body]
+            if ind == 0:
+                nbits_total = meta["ni"] * meta["nj"]
+                meta["bitmap"] = _unpack_bits(
+                    buf[body + 1:pos + sec_len], 1, nbits_total).astype(bool)
+            elif ind != 255:
+                raise NotImplementedError("predefined GRIB2 bitmaps")
+        elif sec_num == 7:
+            grids.append(_decode_grib2_data(buf[body:pos + sec_len], meta))
+        pos += sec_len
+
+    records = []
+    for vals in grids:
+        key = (discipline, meta["category"], meta["number"],
+               meta["level_type"], int(meta["level"]))
+        short = GRIB2_PARAMS.get(key, f"p{key}")
+        records.append({
+            "shortName": short, "values": vals.reshape(meta["nj"], meta["ni"]),
+            "lats": meta["lats"], "lons": meta["lons"],
+            "valid_time": meta["ref_time"]
+            + np.timedelta64(int(meta.get("step", 0) * 60), "m"),
+            "level_type": meta["level_type"], "level": meta["level"],
+            "edition": 2, "param": key,
+        })
+    return records, off + total
+
+
+def _decode_grib2_data(data, meta):
+    n = meta["ndata"]
+    nbits = meta["nbits"]
+    tmpl = meta["drs_template"]
+    if tmpl == 0:
+        x = _unpack_bits(data, nbits, n).astype(np.float64)
+    else:
+        x = _decode_complex(data, meta).astype(np.float64)
+    vals = (meta["ref"] + x * 2.0 ** meta["bin_scale"]) \
+        * 10.0 ** (-meta["dec_scale"])
+    bitmap = meta.get("bitmap")
+    if bitmap is not None:
+        full = np.full(bitmap.size, np.nan)
+        full[bitmap] = vals
+        vals = full
+    return vals
+
+
+def _decode_complex(data, meta):
+    """Complex packing (5.2) and complex + spatial differencing (5.3)."""
+    n = meta["ndata"]
+    pos_bits = 0
+    order = 0
+    if meta["drs_template"] == 3:
+        order = meta["spatial_order"]
+        nb = meta["spatial_desc_bytes"]
+        vals0 = []
+        for i in range(order):
+            v = int.from_bytes(data[(i) * nb:(i + 1) * nb], "big")
+            sign_bit = 1 << (nb * 8 - 1)
+            vals0.append(-(v & (sign_bit - 1)) if v & sign_bit else v)
+        gmin_raw = int.from_bytes(data[order * nb:(order + 1) * nb], "big")
+        sign_bit = 1 << (nb * 8 - 1)
+        gmin = -(gmin_raw & (sign_bit - 1)) if gmin_raw & sign_bit else gmin_raw
+        pos_bits = (order + 1) * nb * 8
+
+    ng = meta["ngroups"]
+    refs = _unpack_bits(data, meta["nbits"], ng, pos_bits)
+    pos_bits += meta["nbits"] * ng
+    pos_bits = (pos_bits + 7) & ~7
+    widths = meta["group_width_ref"] + _unpack_bits(
+        data, meta["group_width_bits"], ng, pos_bits)
+    pos_bits += meta["group_width_bits"] * ng
+    pos_bits = (pos_bits + 7) & ~7
+    lengths = meta["group_len_ref"] + meta["group_len_inc"] * _unpack_bits(
+        data, meta["group_len_bits"], ng, pos_bits)
+    pos_bits += meta["group_len_bits"] * ng
+    pos_bits = (pos_bits + 7) & ~7
+    lengths = np.asarray(lengths)
+    if ng:
+        lengths[-1] = meta["group_len_last"]
+
+    out = np.empty(n, dtype=np.int64)
+    idx = 0
+    for gref, gw, gl in zip(refs, widths, lengths):
+        vals = _unpack_bits(data, int(gw), int(gl), pos_bits) if gw \
+            else np.zeros(int(gl), dtype=np.int64)
+        out[idx:idx + int(gl)] = gref + vals
+        pos_bits += int(gw) * int(gl)
+        idx += int(gl)
+    assert idx == n, f"complex packing: {idx} != {n} points"
+
+    if meta["drs_template"] == 3:
+        # undo spatial differencing (first or second order)
+        out = out + gmin
+        if order >= 1:
+            out[0] = vals0[0]
+        if order == 2:
+            out[1] = vals0[1]
+            for i in range(2, n):
+                out[i] = out[i] + 2 * out[i - 1] - out[i - 2]
+        elif order == 1:
+            for i in range(1, n):
+                out[i] = out[i] + out[i - 1]
+    return out
+
+
+def encode_grib2(records):
+    """Encode records as GRIB2 with simple packing (templates 3.0/4.0/5.0)."""
+    out = []
+    for rec in records:
+        vals = np.asarray(rec["values"], dtype=np.float64)
+        lats = np.asarray(rec["lats"], dtype=float)
+        lons = np.asarray(rec["lons"], dtype=float)
+        nj, ni = vals.shape
+        key = GRIB2_PARAMS_INV.get(rec["shortName"], rec.get("param"))
+        discipline, cat, num, lev_type, lev = key
+        nbits = int(rec.get("nbits", 16))
+        t = np.datetime64(rec["valid_time"], "m").astype(object)
+
+        mask = np.isfinite(vals)
+        has_bms = not mask.all()
+        flat = vals.ravel()[mask.ravel()]
+        vmin = float(flat.min()) if flat.size else 0.0
+        vmax = float(flat.max()) if flat.size else 0.0
+        if flat.size and vmax > vmin and nbits:
+            e = int(np.ceil(np.log2((vmax - vmin) / (2**nbits - 1))))
+        else:
+            e = 0
+        ref = np.float32(vmin)
+        x = np.round((flat - float(ref)) / 2.0 ** e).astype(np.int64)
+        x = np.clip(x, 0, 2**nbits - 1) if nbits else x
+
+        sec1 = (struct.pack(">IB", 21, 1) + struct.pack(">HH", 98, 0)
+                + bytes([2, 1, 1])
+                + struct.pack(">H", t.year)
+                + bytes([t.month, t.day, t.hour, t.minute, 0, 0, 1]))
+        g = bytearray(72)
+        struct.pack_into(">I", g, 0, 72)
+        g[4] = 3
+        g[5] = 0
+        struct.pack_into(">I", g, 6, ni * nj)
+        g[10] = 0
+        g[11] = 0
+        struct.pack_into(">H", g, 12, 0)  # template 3.0
+        body = 14
+        g[body + 16:body + 20] = struct.pack(">I", ni)
+        g[body + 20:body + 24] = struct.pack(">I", nj)
+
+        def s32e(v):
+            return struct.pack(">I", (0x80000000 | -v) if v < 0 else v)
+
+        g[body + 32:body + 36] = s32e(int(round(lats[0] * 1e6)))
+        g[body + 36:body + 40] = s32e(int(round(lons[0] * 1e6)))
+        g[body + 40] = 0x30
+        g[body + 41:body + 45] = s32e(int(round(lats[-1] * 1e6)))
+        g[body + 45:body + 49] = s32e(int(round(lons[-1] * 1e6)))
+        di = abs(lons[1] - lons[0]) if ni > 1 else 0
+        dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+        g[body + 49:body + 53] = struct.pack(">I", int(round(di * 1e6)))
+        g[body + 53:body + 57] = struct.pack(">I", int(round(dj * 1e6)))
+        g[body + 57] = 0x40 if (nj > 1 and lats[1] > lats[0]) else 0
+
+        s4 = bytearray(34)
+        struct.pack_into(">I", s4, 0, 34)
+        s4[4] = 4
+        struct.pack_into(">H", s4, 5, 0)
+        struct.pack_into(">H", s4, 7, 0)  # template 4.0
+        s4[9], s4[10] = cat, num
+        s4[11] = 0            # generating process: analysis
+        s4[12], s4[13] = 255, 255
+        s4[17] = 1            # time unit: hours
+        struct.pack_into(">I", s4, 18, 0)   # forecast time 0
+        s4[22] = lev_type
+        s4[23] = 0
+        struct.pack_into(">I", s4, 24, int(lev))
+        s4[28] = 255          # second fixed surface: missing
+        s4[29] = 0xFF
+        s4[30:34] = b"\xff\xff\xff\xff"
+
+        s5 = (struct.pack(">IB", 21, 5)
+              + struct.pack(">I", len(x))
+              + struct.pack(">H", 0)
+              + struct.pack(">f", float(ref))
+              + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
+        if has_bms:
+            bits = _pack_bits(mask.ravel().astype(np.int64), 1)
+            s6 = struct.pack(">IB", 6 + len(bits), 6) + bytes([0]) + bits
+        else:
+            s6 = struct.pack(">IB", 6, 6) + bytes([255])
+        packed = _pack_bits(x, nbits)
+        s7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+
+        body_all = sec1 + bytes(g) + bytes(s4) + s5 + s6 + s7 + b"7777"
+        total = 16 + len(body_all)
+        out.append(b"GRIB" + b"\x00\x00" + bytes([discipline, 2])
+                   + struct.pack(">Q", total) + body_all)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# front door
+# ---------------------------------------------------------------------------
+def read(path_or_bytes):
+    """Decode all GRIB messages (edition 1 or 2) in a file/bytes.
+
+    Returns a list of record dicts with keys shortName, values (nj, ni),
+    lats, lons, valid_time, level_type, level, edition."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        buf = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            buf = f.read()
+    records = []
+    pos = 0
+    while True:
+        pos = buf.find(b"GRIB", pos)
+        if pos < 0:
+            break
+        edition = buf[pos + 7]
+        if edition == 1:
+            rec, pos = _decode_grib1_message(buf, pos)
+            records.append(rec)
+        elif edition == 2:
+            recs, pos = _decode_grib2_message(buf, pos)
+            records.extend(recs)
+        else:
+            raise NotImplementedError(f"GRIB edition {edition}")
+    return records
+
+
+def to_dataset(records):
+    """Stack records into {shortName: (('time','y','x'), array)} plus
+    coords, sorted by valid_time; latitudes normalized ascending."""
+    by_var = {}
+    for rec in records:
+        by_var.setdefault(rec["shortName"], []).append(rec)
+    first = records[0]
+    lats, lons = first["lats"], first["lons"]
+    flip = len(lats) > 1 and lats[0] > lats[-1]
+    times = sorted({np.datetime64(r["valid_time"], "ns") for r in records})
+    t_index = {t: i for i, t in enumerate(times)}
+    data = {}
+    for name, recs in by_var.items():
+        arr = np.full((len(times), len(lats), len(lons)), np.nan)
+        for r in recs:
+            vals = r["values"]
+            if flip:
+                vals = vals[::-1]
+            arr[t_index[np.datetime64(r["valid_time"], "ns")]] = vals
+        data[name] = (("time", "y", "x"), arr)
+    y = lats[::-1].copy() if flip else lats
+    coords = {"time": np.asarray(times, dtype="datetime64[ns]"),
+              "y": y, "x": lons}
+    return data, coords

@@ -1,0 +1,166 @@
+"""GRIB codec units: round-trips, IBM floats, bitmaps, hand-built
+byte-level goldens for GRIB1 and the GRIB2 complex-packing decoder."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from atlite_tpu.io import grib
+
+
+def _recs(nt=2, nbits=16):
+    rng = np.random.default_rng(3)
+    lats = np.linspace(60, 50, 11)
+    lons = np.linspace(-5, 5, 9)
+    out = []
+    for name in ("u100", "t2m"):
+        for h in range(nt):
+            out.append(dict(
+                shortName=name,
+                values=rng.standard_normal((11, 9)) * 8 + 270,
+                lats=lats, lons=lons, nbits=nbits,
+                valid_time=np.datetime64("2013-06-01T00")
+                + np.timedelta64(h, "h"),
+            ))
+    return out
+
+
+@pytest.mark.parametrize("encode,edition", [(grib.encode_grib1, 1),
+                                            (grib.encode_grib2, 2)])
+def test_roundtrip_quantization_bounded(encode, edition):
+    recs = _recs()
+    out = grib.read(encode(recs))
+    assert len(out) == len(recs)
+    for a, b in zip(recs, out):
+        assert b["edition"] == edition
+        assert b["shortName"] == a["shortName"]
+        assert b["valid_time"] == np.datetime64(a["valid_time"], "m")
+        span = a["values"].max() - a["values"].min()
+        tol = span / (2**16 - 1) * 1.01 + 1e-9
+        np.testing.assert_allclose(b["values"], a["values"], atol=tol, rtol=0)
+        np.testing.assert_allclose(b["lats"], a["lats"], atol=1e-6)
+        np.testing.assert_allclose(b["lons"], a["lons"], atol=1e-6)
+
+
+@pytest.mark.parametrize("encode", [grib.encode_grib1, grib.encode_grib2])
+def test_bitmap_nan_roundtrip(encode):
+    rng = np.random.default_rng(4)
+    vals = rng.standard_normal((7, 6))
+    vals[1:3, 2:5] = np.nan
+    rec = dict(shortName="ro", values=vals, lats=np.linspace(55, 50, 7),
+               lons=np.linspace(0, 5, 6),
+               valid_time=np.datetime64("2013-06-02T03"))
+    out = grib.read(encode([rec]))
+    np.testing.assert_array_equal(np.isnan(out[0]["values"]), np.isnan(vals))
+    span = np.nanmax(vals) - np.nanmin(vals)
+    np.testing.assert_allclose(out[0]["values"], vals,
+                               atol=span / 65535 * 1.01, equal_nan=True)
+
+
+def test_ibm_float_codec():
+    for x in (0.0, 1.0, -1.0, 273.15, 6.1e-5, -12345.678, 1e8):
+        enc = grib._ibm32_encode(x)
+        dec = grib._ibm32_decode(enc)
+        assert abs(dec - x) <= abs(x) * 2**-20 + 1e-300, (x, dec)
+
+
+def test_grib1_handbuilt_golden():
+    """A GRIB1 message assembled field-by-field with struct (independent
+    of the encoder): 2x2 grid of [[1.5, 2.5], [3.5, 4.5]] as t2m.
+
+    ref=1.5, E=-1, D=0, nbits=8 -> X = (v-1.5)*2 = [0, 2, 4, 6]."""
+    pds = bytearray(28)
+    pds[0:3] = (28).to_bytes(3, "big")
+    pds[3] = 128          # table2Version
+    pds[4] = 98           # centre ECMWF
+    pds[7] = 0x80         # GDS present
+    pds[8] = 167          # t2m
+    pds[9] = 1
+    pds[12:17] = bytes([13, 6, 15, 12, 0])  # 2013-06-15T12:00 (yy=13)
+    pds[17] = 1           # time unit: hours
+    pds[18] = 1           # P1 = 1 -> valid 13:00
+    pds[24] = 21          # century -> (21-1)*100 + 13 = 2013
+    gds = bytearray(32)
+    gds[0:3] = (32).to_bytes(3, "big")
+    gds[4] = 255
+    gds[5] = 0
+    gds[6:8] = struct.pack(">H", 2)   # ni
+    gds[8:10] = struct.pack(">H", 2)  # nj
+    gds[10:13] = (50000).to_bytes(3, "big")   # lat1 50.0
+    gds[13:16] = (0x800000 | 4000).to_bytes(3, "big")  # lon1 -4.0
+    gds[16] = 0x80
+    gds[17:20] = (49000).to_bytes(3, "big")   # lat2 49.0
+    gds[20:23] = (0x800000 | 3000).to_bytes(3, "big")  # lon2 -3.0
+    gds[23:25] = struct.pack(">H", 1000)
+    gds[25:27] = struct.pack(">H", 1000)
+    # BDS: ref = 1.5 as IBM float: 1.5 = 0.09375*16^(65-64) -> e=65,
+    # m = 0.09375 * 2^24 = 1572864
+    ibm_ref = struct.pack(">I", (65 << 24) | 1572864)
+    data = bytes([0, 2, 4, 6])
+    bds = ((11 + 4 + 1).to_bytes(3, "big") + bytes([8])  # 8 unused bits (pad)
+           + struct.pack(">H", 0x8001)  # E = -1 sign-magnitude
+           + ibm_ref + bytes([8]) + data + b"\x00")
+    body = bytes(pds) + bytes(gds) + bds + b"7777"
+    msg = b"GRIB" + (8 + len(body)).to_bytes(3, "big") + bytes([1]) + body
+
+    (rec,) = grib.read(msg)
+    assert rec["shortName"] == "t2m"
+    assert rec["valid_time"] == np.datetime64("2013-06-15T13:00")
+    np.testing.assert_allclose(rec["values"], [[1.5, 2.5], [3.5, 4.5]])
+    np.testing.assert_allclose(rec["lats"], [50.0, 49.0])
+    np.testing.assert_allclose(rec["lons"], [-4.0, -3.0])
+
+
+def test_grib2_complex_packing_handbuilt():
+    """Template 5.2 data assembled by hand: two groups
+    [3,4,5,6] (ref 3, width 2) + [11,10,11] (ref 10, width 1)."""
+    data = bytes([0x3A,        # refs [3, 10] at 4 bits
+                  0x44,        # widths [2, 1] at 3 bits (padded)
+                  0x00, 0x00,  # scaled lengths at 8 bits (last overridden)
+                  0x1B,        # group 1 values [0,1,2,3] at 2 bits
+                  0xA0])       # group 2 values [1,0,1] at 1 bit
+    meta = dict(ndata=7, drs_template=2, nbits=4, ngroups=2,
+                group_width_ref=0, group_width_bits=3,
+                group_len_ref=4, group_len_inc=1, group_len_last=3,
+                group_len_bits=8)
+    out = grib._decode_complex(data, meta)
+    np.testing.assert_array_equal(out, [3, 4, 5, 6, 11, 10, 11])
+
+
+def test_grib2_spatial_differencing_handbuilt():
+    """Template 5.3, order 2: descriptors h1=10, h2=12, gmin=0; packed
+    second differences reconstruct [10, 12, 15, 19, 24, 30]."""
+    data = bytes([0x00, 0x0A,  # h1 = 10
+                  0x00, 0x0C,  # h2 = 12
+                  0x00, 0x00,  # gmin = 0
+                  0x00,        # group ref [0] at 4 bits
+                  0x20,        # group width [1] at 3 bits
+                  0x00,        # scaled length
+                  0x3C])       # values [0,0,1,1,1,1] at 1 bit
+    meta = dict(ndata=6, drs_template=3, nbits=4, ngroups=1,
+                group_width_ref=0, group_width_bits=3,
+                group_len_ref=6, group_len_inc=1, group_len_last=6,
+                group_len_bits=8, spatial_order=2, spatial_desc_bytes=2)
+    out = grib._decode_complex(data, meta)
+    np.testing.assert_array_equal(out, [10, 12, 15, 19, 24, 30])
+
+
+def test_mixed_editions_in_one_stream():
+    recs = _recs(nt=1)
+    blob = grib.encode_grib1(recs[:1]) + grib.encode_grib2(recs[1:2])
+    out = grib.read(blob)
+    assert [r["edition"] for r in out] == [1, 2]
+    assert {r["shortName"] for r in out} == {"u100", "t2m"}
+
+
+def test_to_dataset_orientation():
+    recs = _recs(nt=3)
+    data, coords = grib.to_dataset(grib.read(grib.encode_grib1(recs)))
+    assert set(data) == {"u100", "t2m"}
+    assert data["u100"][1].shape == (3, 11, 9)
+    assert coords["y"][0] < coords["y"][-1]  # ascending after flip
+    # flipped rows must match: file row 0 is lat 60 -> last y index
+    np.testing.assert_allclose(data["u100"][1][0, -1],
+                               grib.read(grib.encode_grib1(recs))[0]["values"][0],
+                               atol=1e-9)
