@@ -28,6 +28,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def put_global(arr, sharding):
+    """device_put that also works when the sharding spans processes
+    (multi-host meshes): each process materializes only its addressable
+    shards via make_array_from_callback."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def make_mesh(devices=None, t_axis=None):
     """Build a ("t", "x") mesh over the given (or all) devices.
 
@@ -217,9 +228,9 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
     ]).astype(np.int32)
 
     xs = NamedSharding(mesh, P("x"))
-    bands_d = jax.device_put(jnp.asarray(bands, jnp.float32), xs)
-    tidx_d = jax.device_put(jnp.asarray(tile_idx), xs)
-    inv_d = jax.device_put(jnp.asarray(inverse), xs)
+    bands_d = put_global(np.asarray(bands, np.float32), xs)
+    tidx_d = put_global(tile_idx, xs)
+    inv_d = put_global(inverse, xs)
 
     @jax.jit
     @partial(
@@ -272,5 +283,5 @@ def sharded_aggregate(mesh, matrix_dense, shape=None):
         return jnp.dot(flat, matrix.T,
                        precision=jax.lax.Precision.HIGHEST)
 
-    matrix_dev = jax.device_put(matrix_dense, m_sharding)
+    matrix_dev = put_global(matrix_dense, m_sharding)
     return lambda field: agg(field, matrix_dev)

@@ -1,0 +1,86 @@
+"""Worker process for tests/test_multihost.py: runs the full sharded step
+and the distributed banded aggregation on a process-spanning mesh and
+checks them against a single-device computation.
+
+Launched as:  python multihost_worker.py <process_id> <num_processes> <port>
+with JAX_PLATFORMS=cpu and --xla_force_host_platform_device_count=<k>.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+
+    from atlite_tpu.core import comm
+
+    comm.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=nproc, process_id=proc_id)
+    assert jax.process_count() == nproc
+    n_global = jax.device_count()
+    n_local = jax.local_device_count()
+    print(f"proc {proc_id}: {n_local} local / {n_global} global", flush=True)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from atlite_tpu.core.mesh import field_spec, sharded_aggregate_banded, table_spec
+
+    mesh = comm.global_mesh()
+    assert mesh.shape["t"] % nproc == 0, mesh.shape
+    t_size, x_size = mesh.shape["t"], mesh.shape["x"]
+
+    T, Y, X, B = 4 * t_size, 8, 4 * x_size, 3
+    fields, eph, lon, lat, V, POWn, matrix = ge._example_inputs(T=T, Y=Y, X=X, B=B)
+
+    step = ge._step_fn()
+
+    # --- single(-local)-device expectation
+    dev0 = jax.local_devices()[0]
+    put0 = lambda a: jax.device_put(a, dev0)
+    with jax.default_device(dev0):
+        exp_wind, exp_pv = jax.jit(step)(
+            {k: put0(v) for k, v in fields.items()},
+            {k: put0(v) for k, v in eph.items()},
+            put0(lon), put0(lat), put0(V), put0(POWn), put0(matrix))
+        exp_wind = np.asarray(exp_wind)
+        exp_pv = np.asarray(exp_pv)
+
+    # --- multi-host sharded execution
+    fgl = lambda spec, a: comm.from_global_numpy(mesh, spec, a)
+    fields_d = {k: fgl(field_spec() if np.ndim(v) == 3 else P(None, "x"), v)
+                for k, v in fields.items()}
+    eph_d = {k: fgl(table_spec(), v) for k, v in eph.items()}
+    args = (fields_d, eph_d, fgl(P("x"), lon), fgl(P(), lat), fgl(P(), V),
+            fgl(P(), POWn), fgl(P(), matrix))
+    sharded = jax.jit(step, out_shardings=(NamedSharding(mesh, P("t", None)),) * 2)
+    with mesh:
+        wind_bus, pv_bus = sharded(*args)
+    got_wind = comm.allgather(wind_bus)
+    got_pv = comm.allgather(pv_bus)
+    np.testing.assert_allclose(got_wind, exp_wind, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got_pv, exp_pv, rtol=2e-4, atol=1e-5)
+    print(f"proc {proc_id}: STEP OK", flush=True)
+
+    # --- distributed banded aggregation across processes
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(1)
+    mat = sp.random(B, Y * X, density=0.15, random_state=2, format="csr")
+    field = rng.random((T, Y, X)).astype(np.float32)
+    agg = sharded_aggregate_banded(mesh, mat, Y, X, block_b=2, align=4)
+    with mesh:
+        out = agg(comm.from_global_numpy(mesh, field_spec(), field))
+    got = comm.allgather(out)
+    np.testing.assert_allclose(got, field.reshape(T, -1) @ mat.toarray().T,
+                               rtol=1e-4, atol=1e-5)
+    print(f"proc {proc_id}: AGG OK", flush=True)
+    comm.barrier("done")
+    print(f"proc {proc_id}: MULTIHOST OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
