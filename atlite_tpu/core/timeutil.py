@@ -42,8 +42,10 @@ def solar_ephemeris(time, time_shift="0h") -> dict[str, np.ndarray]:
     """
     t = to_datetimeindex(time) + pd.to_timedelta(time_shift)
     n = t.to_julian_date().values - 2451545.0
-    hour = t.hour.values.astype(float)
-    minute = t.minute.values.astype(float)
+    # full fractional UT hours (the reference drops seconds,
+    # solar_position.py:74-75 — identical on whole-minute reanalysis
+    # stamps, strictly more precise otherwise)
+    ut_hours = ((t - t.normalize()).total_seconds().values) / 3600.0
 
     L = 280.460 + 0.9856474 * n  # mean longitude, deg
     g = np.radians(357.528 + 0.9856003 * n)  # mean anomaly, rad
@@ -52,7 +54,7 @@ def solar_ephemeris(time, time_shift="0h") -> dict[str, np.ndarray]:
 
     ra = np.arctan2(np.cos(ep) * np.sin(ecl), np.cos(ecl))  # right ascension, rad
     # local mean sidereal time at lon=0, deg
-    lmst0 = (6.697375 + (hour + minute / 60.0) + 0.0657098242 * n) * 15.0
+    lmst0 = (6.697375 + ut_hours + 0.0657098242 * n) * 15.0
     # hour angle at lon=0, wrapped in float64 on the host so that the (much
     # smaller) residual survives a float32 cast on device
     h0 = (np.radians(lmst0) - ra + np.pi) % (2 * np.pi) - np.pi
