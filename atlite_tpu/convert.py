@@ -271,6 +271,52 @@ def _align_layout(layout, cutout):
     return lv.ravel()
 
 
+def _streaming_vars(cutout, convert_func, convert_kwds):
+    """Variables a converter actually reads — the streaming path then
+    moves ONLY those bytes host->HBM (e.g. the wind log-law needs 2 of
+    the 5 stored wind variables).  Mirrors each kernel's reads including
+    its stored-variable fast lanes; returns None (= stage everything)
+    for converters without an entry."""
+    have = set(cutout.data)
+    solar = {"solar_altitude", "solar_azimuth"} & have
+    influx = ({"influx"} if "influx" in have else
+              {"influx_direct", "influx_diffuse"}) | {"influx_toa"}
+    albedo = {"albedo"} if "albedo" in have else {"outflux"} & have
+
+    if convert_func is convert_wind:
+        import re
+
+        turbine = convert_kwds["turbine"]
+        fast = f"wnd{int(float(turbine['hub_height']))}m"
+        if fast in have:
+            return {fast}
+        # no fast lane: extrapolation picks the closest stored height, so
+        # keep every wnd<h>m plus the method's auxiliary field
+        speeds = {v for v in have if re.fullmatch(r"wnd\d+m", v)}
+        method = convert_kwds.get("interpolation_method", "logarithmic")
+        aux = {"roughness"} if method == "logarithmic" else {"wnd_shear_exp"}
+        return speeds | aux
+    if convert_func in (convert_pv, convert_solar_thermal):
+        return influx | albedo | solar | {"temperature"}
+    if convert_func is convert_irradiation:
+        return influx | albedo | solar
+    if convert_func is convert_csp:
+        return {"influx_direct", "influx_toa"} & have | solar
+    if convert_func is convert_temperature:
+        return {"temperature"}
+    if convert_func is convert_soil_temperature:
+        return {"soil temperature"}
+    if convert_func is convert_dewpoint_temperature:
+        return {"dewpoint temperature"}
+    if convert_func is convert_coefficient_of_performance:
+        src = convert_kwds.get("source", "air")
+        return {"temperature" if src == "air" else "soil temperature"}
+    if convert_func is convert_runoff:
+        extra = {"height"} if convert_kwds.get("weight_with_height", True) else set()
+        return {"runoff"} | extra
+    return None
+
+
 def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
     """Stream the conversion over time chunks.
 
@@ -294,10 +340,19 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
             f"time_chunk streaming needs a positive chunk and a non-empty "
             f"time axis (T={T}, time_chunk={time_chunk})"
         )
+    needed = _streaming_vars(cutout, convert_func, convert_kwds)
+    if needed is not None:
+        # statics (e.g. height) are staged once by the parent regardless
+        needed = (needed & set(cutout.data)) | {
+            n for n in cutout.data
+            if tuple(cutout.var_attrs.get(n, {}).get("dims", ("time",)))[0]
+            != "time"
+        }
+
     pieces = []
     prev = None
     for t0 in range(0, T, time_chunk):
-        sub = cutout.isel_time(t0, min(t0 + time_chunk, T))
+        sub = cutout.isel_time(t0, min(t0 + time_chunk, T), only=needed)
         da = convert_func(sub, **convert_kwds)  # async XLA dispatch
         if prev is not None:
             # sync the PREVIOUS chunk only now — its readback overlaps the

@@ -240,6 +240,32 @@ class Cutout:
         mesh after ``shard()``)."""
         dtype = self.dtype if dtype is None else np.dtype(dtype)
         mesh = getattr(self, "_mesh", None)
+        if (getattr(self, "_stage_batched", False) and mesh is None
+                and (self._fields_cache is None
+                     or self._fields_cache[0] != dtype)):
+            # streaming sub-cutout (isel_time): fuse ALL same-shape time
+            # fields into ONE host->device transfer — per-transfer latency
+            # (severe through the axon relay) would otherwise dominate the
+            # chunk pipeline of convert._chunked_convert
+            cache = dict(getattr(self, "_static_device", {}) or {})
+            batch = [n for n, a in self.data.items()
+                     if n not in cache and np.ndim(a) == 3]
+            if batch:
+                shape = np.shape(self.data[batch[0]])
+                same = [n for n in batch if np.shape(self.data[n]) == shape]
+                stack = np.empty((len(same),) + shape, dtype=dtype)
+                for i, n in enumerate(same):
+                    stack[i] = self.data[n]
+                dev = jnp.asarray(stack)
+                for i, n in enumerate(same):
+                    cache[n] = dev[i]
+                for n in set(batch) - set(same):
+                    cache[n] = jnp.asarray(np.asarray(self.data[n]), dtype=dtype)
+            for n, a in self.data.items():
+                if n not in cache:
+                    cache[n] = jnp.asarray(np.asarray(a), dtype=dtype)
+            self._fields_cache = (dtype, cache)
+            return cache
         if self._fields_cache is None or self._fields_cache[0] != dtype:
             cache = {}
             for name, arr in self.data.items():
@@ -264,6 +290,7 @@ class Cutout:
 
     def _invalidate(self):
         self._fields_cache = None
+        self._static_cache = None
 
     # ---------------------------------------------------------- preparation
     def prepare(self, features=None, tmpdir=None, data_format=None,
@@ -479,19 +506,43 @@ class Cutout:
                      var_attrs=dict(self.var_attrs), dtype=self.dtype)
         return out
 
-    def isel_time(self, t0, t1):
+    def isel_time(self, t0, t1, only=None):
         """Lightweight time-slice view (no data copy; arrays are sliced
-        numpy views / mmaps).  Used by the chunked conversion streamer."""
+        numpy views / mmaps).  Used by the chunked conversion streamer:
+        the sub-cutout stages all its time fields in ONE fused device
+        transfer and reuses the parent's staged static fields.  With
+        ``only`` (a set of variable names) untouched variables are left
+        out entirely — the streamer probes which fields a converter reads
+        and then moves only those bytes."""
         from dataclasses import replace as _replace
 
         g = self.grid_desc
         new_grid = _replace(g, time=g.time[t0:t1])
         data = {}
         for name, arr in self.data.items():
+            if only is not None and name not in only:
+                continue
             dims = tuple(self.var_attrs.get(name, {}).get("dims", ("time", "y", "x")))
             data[name] = np.asarray(arr)[t0:t1] if dims[0] == "time" else arr
-        return Cutout(None, data=data, grid_desc=new_grid, attrs=dict(self.attrs),
-                      var_attrs=dict(self.var_attrs), dtype=self.dtype)
+        sub = Cutout(None, data=data, grid_desc=new_grid, attrs=dict(self.attrs),
+                     var_attrs=dict(self.var_attrs), dtype=self.dtype)
+        sub._stage_batched = True
+        sub._static_device = self._stage_static()
+        return sub
+
+    def _stage_static(self):
+        """Stage non-time (static, e.g. height) variables to the device
+        once; chunked streaming reuses them across every chunk."""
+        cache = getattr(self, "_static_cache", None)
+        if cache is None:
+            cache = {}
+            for name, arr in self.data.items():
+                dims = tuple(self.var_attrs.get(name, {})
+                             .get("dims", ("time", "y", "x")))
+                if dims and dims[0] != "time":
+                    cache[name] = jnp.asarray(np.asarray(arr), dtype=self.dtype)
+            self._static_cache = cache
+        return cache
 
     def merge(self, other, path=None, **kwargs):
         """Merge the variables of two aligned cutouts (cutout.py:415-451)."""

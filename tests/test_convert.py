@@ -250,3 +250,28 @@ def test_time_chunked_demand_raises(cutout_week):
 
     with _pytest.raises(ValueError):
         cutout_week.heat_demand(aggregate_time=None, time_chunk=24)
+
+
+def test_streamed_only_needed_vars(cutout_week, monkeypatch):
+    """The chunked streamer stages only the variables the converter reads
+    (wind log-law with the wnd80m fast lane absent: wnd10m/wnd100m +
+    roughness, never azimuth/shear)."""
+    from atlite_tpu import convert as cv
+
+    staged = []
+    real = cutout_week.isel_time
+
+    def spy(t0, t1, only=None):
+        staged.append(only)
+        return real(t0, t1, only=only)
+
+    monkeypatch.setattr(cutout_week, "isel_time", spy)
+    full = cutout_week.wind("Vestas_V112_3MW", aggregate_time=None)
+    chunked = cutout_week.wind("Vestas_V112_3MW", aggregate_time=None,
+                               time_chunk=48)
+    np.testing.assert_allclose(np.asarray(chunked.values),
+                               np.asarray(full.values), rtol=1e-6)
+    only_sets = [s for s in staged if s is not None]
+    assert only_sets, "streamer did not engage the variable filter"
+    assert "wnd_azimuth" not in only_sets[-1]
+    assert "wnd_shear_exp" not in only_sets[-1]
