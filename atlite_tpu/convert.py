@@ -481,6 +481,14 @@ def _solar_chain(fields, eph, lon, lat, orient_t, tracking, trigon_model,
     if "solar_altitude" in fields and "solar_azimuth" in fields:
         sp_ = {"altitude": fields["solar_altitude"],
                "azimuth": fields["solar_azimuth"]}
+        # trig-carry fast lane: the cutout's fields cache derives the
+        # (sin, cos) pairs once and every conversion reuses them
+        for src, dst in (("solar_altitude_sin", "sin_altitude"),
+                         ("solar_altitude_cos", "cos_altitude"),
+                         ("solar_azimuth_sin", "sin_azimuth"),
+                         ("solar_azimuth_cos", "cos_azimuth")):
+            if src in fields:
+                sp_[dst] = fields[src]
     else:
         sp_ = solar_position(eph["declination"], eph["hour_angle0"], lon, lat)
     surf = surface_orientation(sp_, lat, _thaw(orient_t), tracking)

@@ -264,6 +264,7 @@ class Cutout:
             for n, a in self.data.items():
                 if n not in cache:
                     cache[n] = jnp.asarray(np.asarray(a), dtype=dtype)
+            _derive_solar_trig(cache)
             self._fields_cache = (dtype, cache)
             return cache
         if self._fields_cache is None or self._fields_cache[0] != dtype:
@@ -285,6 +286,7 @@ class Cutout:
                         spec = P()
                     a = jax.device_put(a, NamedSharding(mesh, spec))
                 cache[name] = a
+            _derive_solar_trig(cache)
             self._fields_cache = (dtype, cache)
         return self._fields_cache[1]
 
@@ -664,3 +666,22 @@ def _read_netcdf_cutout(path):
     grid_kwargs = dict(x=x, y=y, time=np.asarray(tvals, dtype="datetime64[ns]"),
                        crs=4326)
     return grid_kwargs, data, attrs, var_attrs
+
+
+def _derive_solar_trig(cache):
+    """Add device-side (sin, cos) mirrors of stored solar angles to a
+    fields cache.  Computed ONCE per cache build and reused by every
+    converter call — the trig-carry optimization (PERF.md round 2: 1.45x
+    on the PV chain, which otherwise re-evaluates sin/cos(altitude) and
+    cos(panel_az - azimuth) per element per conversion)."""
+    if "solar_altitude" in cache and "solar_altitude_sin" not in cache:
+        alt = cache["solar_altitude"]
+        sin_alt = jnp.sin(alt)
+        cache["solar_altitude_sin"] = sin_alt
+        # altitude in [-pi/2, pi/2] -> cos >= 0
+        cache["solar_altitude_cos"] = jnp.sqrt(
+            jnp.clip(1.0 - sin_alt**2, 0.0, None))
+    if "solar_azimuth" in cache and "solar_azimuth_sin" not in cache:
+        az = cache["solar_azimuth"]
+        cache["solar_azimuth_sin"] = jnp.sin(az)
+        cache["solar_azimuth_cos"] = jnp.cos(az)

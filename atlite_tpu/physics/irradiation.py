@@ -80,8 +80,11 @@ def tilted_irradiation(
     or 'influx_direct'+'influx_diffuse', plus 'influx_toa' and albedo info.
     """
     influx_toa = fields["influx_toa"]
-    alt = solar_position["altitude"]
-    sinaltitude = jnp.sin(alt)
+    # trig-carry: prefer the precomputed sin(altitude) (PERF.md round 2)
+    if "sin_altitude" in solar_position:
+        sinaltitude = solar_position["sin_altitude"]
+    else:
+        sinaltitude = jnp.sin(solar_position["altitude"])
     cosincidence = surface["cosincidence"]
     surface_slope = surface["slope"]
 
@@ -146,5 +149,8 @@ def tilted_irradiation(
 
     # Suppress irradiation at low solar altitude where 1/sin(alt) blows up
     # (irradiation.py:247-252); this also zeroes every night-time NaN path.
-    cap_alt = alt < np.radians(altitude_threshold)
+    # The comparison runs in sin-space — strictly monotone on [-pi/2, pi/2],
+    # so exactly equivalent to `altitude < threshold` without touching the
+    # angle (trig-carry).
+    cap_alt = sinaltitude < np.sin(np.radians(altitude_threshold))
     return jnp.where(cap_alt | (direct + diffuse <= 0.01), 0.0, result)

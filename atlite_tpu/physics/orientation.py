@@ -78,13 +78,23 @@ def surface_orientation(solar_position, lat, orientation_spec, tracking=None):
             "tracking must be None, 'horizontal', 'tilted_horizontal', "
             "'vertical' or 'dual'"
         )
+    from atlite_tpu.physics.solar import solar_position_trig
+
     slope, panel_az = orientation_fields(orientation_spec, lat)
-    alt = solar_position["altitude"]
-    az = solar_position["azimuth"]
-    sin_alt, cos_alt = jnp.sin(alt), jnp.cos(alt)
+    sp = solar_position_trig(solar_position)
+    alt = sp["altitude"]
+    az = sp["azimuth"]
+    # trig-carry: (sin, cos) pairs arrive precomputed from the solar
+    # position kernel / the cutout's derived-field cache — no per-element
+    # arcsin/arccos -> sin/cos round-trips (PERF.md round 2, 1.45x on the
+    # PV chain)
+    sin_alt, cos_alt = sp["sin_altitude"], sp["cos_altitude"]
 
     if tracking is None:
-        cosincidence = jnp.sin(slope) * cos_alt * jnp.cos(panel_az - az) \
+        # cos(panel_az - az) = cos(panel_az) cos(az) + sin(panel_az) sin(az)
+        cos_rel = (jnp.cos(panel_az) * sp["cos_azimuth"]
+                   + jnp.sin(panel_az) * sp["sin_azimuth"])
+        cosincidence = jnp.sin(slope) * cos_alt * cos_rel \
             + jnp.cos(slope) * sin_alt
         surface_slope, surface_azimuth = slope, panel_az
 

@@ -44,12 +44,36 @@ def solar_position(declination, hour_angle0, lon, lat):
     cos_h = jnp.cos(h)
 
     # clip against rounding excursions beyond +-1 (solar_position.py:101-105)
-    alt = jnp.arcsin(jnp.clip(sin_dec * sin_lat + cos_dec * cos_lat * cos_h, -1.0, 1.0))
-    az = jnp.arccos(
-        jnp.clip((sin_dec * cos_lat - cos_dec * sin_lat * cos_h) / jnp.cos(alt), -1.0, 1.0)
-    )
+    sin_alt = jnp.clip(sin_dec * sin_lat + cos_dec * cos_lat * cos_h, -1.0, 1.0)
+    alt = jnp.arcsin(sin_alt)
+    # altitude is in [-pi/2, pi/2], so cos >= 0: sqrt instead of cos(arcsin)
+    cos_alt = jnp.sqrt(jnp.clip(1.0 - sin_alt**2, 0.0, None))
+    cos_az = jnp.clip(
+        (sin_dec * cos_lat - cos_dec * sin_lat * cos_h) / cos_alt, -1.0, 1.0)
+    az = jnp.arccos(cos_az)
     az = jnp.where(h <= 0, az, two_pi - az)
-    return {"altitude": alt, "azimuth": az}
+    # trig-carry (PERF.md round 2): downstream orientation/transposition
+    # consumes (sin, cos) pairs directly, skipping arcsin/arccos->sin/cos
+    # round-trips.  sin(az) keeps the hemisphere flip's sign:
+    # az' = 2pi - az  =>  sin(az') = -sin(az); cos unchanged.
+    sin_az = jnp.sqrt(jnp.clip(1.0 - cos_az**2, 0.0, None))
+    sin_az = jnp.where(h <= 0, sin_az, -sin_az)
+    return {"altitude": alt, "azimuth": az,
+            "sin_altitude": sin_alt, "cos_altitude": cos_alt,
+            "sin_azimuth": sin_az, "cos_azimuth": cos_az}
+
+
+def solar_position_trig(solar_position_dict):
+    """Ensure a solar-position dict carries the (sin, cos) pairs —
+    derives them from the angles when absent (stored-angle fast lane)."""
+    sp = dict(solar_position_dict)
+    if "sin_altitude" not in sp:
+        sp["sin_altitude"] = jnp.sin(sp["altitude"])
+        sp["cos_altitude"] = jnp.cos(sp["altitude"])
+    if "sin_azimuth" not in sp:
+        sp["sin_azimuth"] = jnp.sin(sp["azimuth"])
+        sp["cos_azimuth"] = jnp.cos(sp["azimuth"])
+    return sp
 
 
 def solar_position_numpy(declination, hour_angle0, lon, lat):
