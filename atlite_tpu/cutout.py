@@ -337,7 +337,11 @@ class Cutout:
                                       **{**self.attrs, **params})
                 new_vars = []
                 for var, (dims, arr) in result.items():
-                    if var not in mod.features[feature]:
+                    # merge only still-missing variables: with stacked
+                    # modules (e.g. ["sarah", "era5"]) a later module must
+                    # not clobber vars an earlier one provided (reference
+                    # merges ds[missing_vars.values], data.py:249)
+                    if var not in mod.features[feature] or var not in missing_vars:
                         continue
                     self.data[var] = np.asarray(arr)
                     self.var_attrs[var] = {

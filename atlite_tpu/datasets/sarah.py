@@ -3,25 +3,35 @@
 Mirrors /root/reference/atlite/datasets/sarah.py:31-244: influx feature at
 native 0.05 deg / 30 min resolution, with
 
+- file discovery by date from the SARAH archive directory (sarah.py:42-89),
+- decoding of the NetCDF archives via the self-contained readers in
+  atlite_tpu.io (NETCDF4/HDF5 and NetCDF-3), including CF packed-integer
+  unpacking (scale_factor / add_offset / _FillValue),
 - NaN interpolation along time for the dawn/dusk gaps (sarah.py:91-132),
-- pairwise stride-2 averaging 30 min -> 1 h (sarah.py:145-159),
+- pairwise stride-2 averaging 30 min -> 1 h for hourly cutouts
+  (sarah.py:145-159),
 - regridding onto the cutout resolution when it differs (sarah.py:226-227),
 - diffuse = SIS - SID (sarah.py:229-231).
 
-The array-processing core is implemented here and unit-tested; reading the
-original SARAH NetCDF archives requires an HDF5 reader not in this build —
-``get_data`` accepts pre-decoded arrays via the ``sarah_arrays`` creation
-parameter: {"sis": (T2,Y,X), "sid": (T2,Y,X), "x":..., "y":..., "time":...}
-at 30-min resolution.
+``get_data`` takes the archive directory via the ``sarah_dir`` creation
+parameter (same name as the reference, sarah.py:183-185); pre-decoded
+arrays may still be passed via ``sarah_arrays`` ({"sis": (T2,Y,X),
+"sid": (T2,Y,X), "x":..., "y":..., "time":...} at 30-min resolution).
 """
 
 from __future__ import annotations
+
+import glob
+import logging
+import os
 
 import numpy as np
 import pandas as pd
 
 from atlite_tpu.core.timeutil import solar_ephemeris
 from atlite_tpu.physics.solar import solar_position_numpy
+
+logger = logging.getLogger(__name__)
 
 crs = 4326
 dx = 0.05
@@ -33,6 +43,115 @@ features = {"influx": ["influx_direct", "influx_diffuse", "solar_altitude",
 static_features = set()
 
 
+# ---------------------------------------------------------------------------
+# archive reading
+# ---------------------------------------------------------------------------
+def get_filenames(sarah_dir, time_index):
+    """All SIS/SID files in ``sarah_dir`` covering the cutout's time span.
+
+    Returns a DataFrame with columns ``sis`` and ``sid`` indexed by file
+    date — the reference's get_filenames (sarah.py:42-89): recursive glob,
+    date parsed out of the ``SI[SD]in<YYYYMMDD>`` filename stem, inner
+    join so only days with both variables survive, floor-to-day filter.
+    """
+
+    def _starting_with(name):
+        pattern = os.path.join(str(sarah_dir), "**", f"{name}*.nc")
+        files = pd.Series(glob.glob(pattern, recursive=True))
+        if files.empty:
+            raise FileNotFoundError(
+                f"No files found at {pattern}. Make sure sarah_dir points "
+                f"to the correct directory!"
+            )
+        files.index = pd.to_datetime(
+            files.str.extract(r"SI.in(\d{8})", expand=False))
+        return files.sort_index()
+
+    files = pd.concat(
+        {"sis": _starting_with("SIS"), "sid": _starting_with("SID")},
+        join="inner", axis=1,
+    )
+    idx = pd.DatetimeIndex(time_index)
+    start, end = idx[0].floor("D"), idx[-1].floor("D")
+    if start < files.index[0] or end > files.index[-1]:
+        logger.error(
+            "Files in %s do not cover the whole time span: %s until %s",
+            sarah_dir, start, end,
+        )
+    return files.loc[(files.index >= start) & (files.index <= end)].sort_index()
+
+
+def _unpack_cf(arr, attrs):
+    """CF packed-integer decoding: _FillValue -> NaN, then
+    scale_factor / add_offset (SARAH archives store SIS/SID as scaled
+    int16)."""
+    out = np.asarray(arr)
+    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    out = out.astype(np.float64)
+    if fill is not None:
+        out[np.asarray(arr) == np.asarray(fill)] = np.nan
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    if scale is not None:
+        out = out * float(np.asarray(scale))
+    if offset is not None:
+        out = out + float(np.asarray(offset))
+    return out
+
+
+def open_archive(paths, var, extent):
+    """Read ``var`` out of a sequence of SARAH NetCDF files and concatenate
+    along time, cropped to ``extent`` (xmin, xmax, ymin, ymax) padded by
+    0.01 deg, coords rounded to 4 decimals — the reference's
+    open_mfdataset + sel + round (sarah.py:207-215).
+
+    Returns (values (T,Y,X) float64 with ascending lat, lon, lat, times).
+    """
+    from atlite_tpu.io.netcdf import read_netcdf
+
+    lo_x, hi_x = extent[0] - 0.01, extent[1] + 0.01
+    lo_y, hi_y = extent[2] - 0.01, extent[3] + 0.01
+    pieces, times = [], []
+    lon_out = lat_out = None
+    for p in paths:
+        _, variables, _ = read_netcdf(p)
+        ren = {"longitude": "lon", "latitude": "lat"}
+        coords = {ren.get(k, k): v for k, v in variables.items()
+                  if ren.get(k, k) in ("lon", "lat", "time")}
+        lon = np.round(np.asarray(coords["lon"][1], dtype=float), 4)
+        lat = np.round(np.asarray(coords["lat"][1], dtype=float), 4)
+        t = np.asarray(coords["time"][1], dtype="datetime64[ns]")
+        dnames, arr, vattrs = variables[var]
+        vals = _unpack_cf(arr, vattrs)
+        if vals.ndim == 2:
+            vals = vals[None]
+        # normalize axis order to (time, lat, lon)
+        order = tuple(ren.get(d, d) for d in dnames)
+        if order[-2:] == ("lon", "lat"):
+            vals = np.swapaxes(vals, -1, -2)
+        if len(lat) > 1 and lat[0] > lat[-1]:  # descending lat -> ascending
+            lat = lat[::-1]
+            vals = vals[:, ::-1]
+        iy = np.where((lat >= lo_y) & (lat <= hi_y))[0]
+        ix = np.where((lon >= lo_x) & (lon <= hi_x))[0]
+        vals = vals[:, iy][:, :, ix]
+        lon_c, lat_c = lon[ix], lat[iy]
+        if lon_out is None:
+            lon_out, lat_out = lon_c, lat_c
+        elif (len(lon_c) != len(lon_out) or len(lat_c) != len(lat_out)
+              or not np.allclose(lon_c, lon_out) or not np.allclose(lat_c, lat_out)):
+            raise ValueError(f"{p}: SARAH files have inconsistent grids")
+        pieces.append(vals)
+        times.append(t)
+    times = np.concatenate(times)
+    order = np.argsort(times, kind="stable")
+    values = np.concatenate(pieces, axis=0)[order]
+    return values, lon_out, lat_out, times[order]
+
+
+# ---------------------------------------------------------------------------
+# array processing chain
+# ---------------------------------------------------------------------------
 def interpolate_nan_time(values: np.ndarray) -> np.ndarray:
     """Linear interpolation of NaNs along the leading time axis
     (sarah.py:91-132; fills interior gaps, keeps leading/trailing NaNs
@@ -60,24 +179,52 @@ def hourly_mean(values: np.ndarray) -> np.ndarray:
 
 
 def process_sarah(sis, sid, src_x, src_y, src_time, cutout, interpolate=True):
-    """Full SARAH processing chain onto the cutout grid (sarah.py:162-243)."""
+    """Full SARAH processing chain onto the cutout grid (sarah.py:162-243).
+
+    Interpolate-or-fill, 30min->1h for hourly cutouts, regrid when the
+    lattice differs, diffuse split, and the 0-h-shift solar position.
+    """
     from atlite_tpu.dataarray import DataArray
     from atlite_tpu.gis.regrid import regrid
 
+    grid = cutout.grid_desc
     if interpolate:
         sis = interpolate_nan_time(sis)
         sid = interpolate_nan_time(sid)
-    sis = hourly_mean(sis)
-    sid = hourly_mean(sid)
-    times = pd.DatetimeIndex(src_time)[: 2 * sis.shape[0] : 2]
+    else:
+        sis = np.nan_to_num(sis, nan=0.0)  # reference fillna(0), sarah.py:219
+        sid = np.nan_to_num(sid, nan=0.0)
 
-    grid = cutout.grid_desc
-    if abs(grid.dx - dx) > 1e-9 or abs(grid.dy - dy) > 1e-9:
+    times = pd.DatetimeIndex(src_time)
+    if grid.dt not in ("30min", "30T"):  # hourly cutout (sarah.py:224-225)
+        sis = hourly_mean(sis)
+        sid = hourly_mean(sid)
+        times = times[: 2 * sis.shape[0] : 2]
+
+    src_x = np.asarray(src_x, dtype=float)
+    src_y = np.asarray(src_y, dtype=float)
+    same_lattice = (
+        len(src_x) == len(grid.x) and len(src_y) == len(grid.y)
+        and np.allclose(src_x, grid.x, atol=1e-4)
+        and np.allclose(src_y, grid.y, atol=1e-4)
+    )
+    if not same_lattice:
         def _rg(v):
             da = DataArray(v, coords={"time": times, "y": src_y, "x": src_x},
                            dims=("time", "y", "x"))
             return regrid(da, grid.x, grid.y, resampling="average").values
         sis, sid = _rg(sis), _rg(sid)
+
+    # align onto the cutout's time lattice
+    want = pd.DatetimeIndex(grid.time)
+    pos = pd.Index(times).get_indexer(want)
+    if (pos < 0).any():
+        missing = want[pos < 0]
+        raise ValueError(
+            f"SARAH data lacks {len(missing)} requested timestamps "
+            f"(first: {missing[0]})"
+        )
+    sis, sid = sis[pos], sid[pos]
 
     influx_diffuse = sis - sid
     eph = solar_ephemeris(grid.time, time_shift="0h")
@@ -92,15 +239,31 @@ def process_sarah(sis, sid, src_x, src_y, src_time, cutout, interpolate=True):
 
 
 def get_data(cutout, feature, tmpdir=None, **creation_parameters):
+    """Load SARAH archives (or pre-decoded arrays) and reformat onto the
+    cutout (reference get_data, sarah.py:162-243)."""
+    interpolate = creation_parameters.get("sarah_interpolate", True)
     arrays = creation_parameters.get("sarah_arrays")
-    if arrays is None:
-        raise ValueError(
-            "The sarah module needs pre-decoded arrays: pass "
-            "sarah_arrays={'sis', 'sid', 'x', 'y', 'time'} as a creation "
-            "parameter (reading the NetCDF archives requires an HDF5 "
-            "reader not included in this build)."
+    if arrays is not None:
+        return process_sarah(
+            arrays["sis"], arrays["sid"], arrays["x"], arrays["y"],
+            arrays["time"], cutout, interpolate=interpolate,
         )
-    return process_sarah(
-        arrays["sis"], arrays["sid"], arrays["x"], arrays["y"], arrays["time"],
-        cutout, interpolate=creation_parameters.get("sarah_interpolate", True),
-    )
+    sarah_dir = creation_parameters.get("sarah_dir")
+    if sarah_dir is None:
+        raise ValueError(
+            "The sarah module needs the 'sarah_dir' creation parameter "
+            "(directory containing the SIS*/SID* NetCDF archives), or "
+            "pre-decoded arrays via sarah_arrays={'sis', 'sid', 'x', 'y', "
+            "'time'}."
+        )
+    grid = cutout.grid_desc
+    if grid.dt not in ("30min", "30T", "h", "1h", "H"):
+        raise ValueError(
+            f"sarah supports 30min or hourly cutouts, got dt={grid.dt!r}"
+        )
+    files = get_filenames(sarah_dir, grid.time_index)
+    extent = grid.extent
+    sis, lon, lat, times = open_archive(files["sis"], "SIS", extent)
+    sid, _, _, _ = open_archive(files["sid"], "SID", extent)
+    return process_sarah(sis, sid, lon, lat, times, cutout,
+                         interpolate=interpolate)
