@@ -199,15 +199,30 @@ def _open_raw(path):
     ren = {"longitude": "x", "latitude": "y", "lon": "x", "lat": "y",
            "valid_time": "time"}
     coords, fields = {}, {}
+    expver_vals = None
     for name, (dnames, arr, vattrs) in variables.items():
         name = ren.get(name, name)
         dnames = tuple(ren.get(d, d) for d in dnames)
         if name in ("x", "y", "time"):
             coords[name] = np.asarray(arr)
-        elif name in ("expver", "number"):
-            continue  # ERA5T bookkeeping coords (reference era5.py:101)
+        elif name == "expver":
+            # ERA5T bookkeeping: either a per-time label (new CDS layout,
+            # nothing to merge) or a real dimension coordinate (old CDS
+            # layout) whose values drive the merge below
+            if dnames == ("expver",):
+                expver_vals = np.asarray(arr)
+            continue
+        elif name == "number":
+            continue  # ensemble bookkeeping coord (reference era5.py:101)
         elif set(dnames) >= {"y", "x"}:
             fields[name] = (dnames, np.asarray(arr, dtype=np.float64))
+    for name, (dnames, arr) in list(fields.items()):
+        if "expver" in dnames:
+            ax = dnames.index("expver")
+            fields[name] = (
+                tuple(d for d in dnames if d != "expver"),
+                _merge_expver(arr, ax, expver_vals),
+            )
     y = coords["y"]
     flip = len(y) > 1 and y[0] > y[-1]
     out = {}
@@ -225,6 +240,37 @@ def _open_raw(path):
     if coords["time"].dtype.kind != "M":
         raise ValueError(f"{path}: undecodable time coordinate")
     return out, coords
+
+
+def _merge_expver(arr, axis, expver_vals):
+    """Collapse an ERA5/ERA5T ``expver`` dimension.
+
+    Old-layout CDS NetCDF files carry variables shaped
+    (time, expver, y, x) where each timestamp is valid in exactly one
+    experiment version (NaN in the other): final ERA5 (expver 1/"0001")
+    is preferred, then ERA5T (5/"0005"), elementwise first-non-NaN — the
+    reference reaches the same result through cfgrib/xarray coordinate
+    cleanup (era5.py:84-101, pinned by
+    test_preparation_and_conversion.py:524-555)."""
+    arr = np.moveaxis(np.asarray(arr, dtype=np.float64), axis, 0)
+    n = arr.shape[0]
+
+    def _rank(v):
+        s = str(v.item() if hasattr(v, "item") else v)
+        s = s.strip("b'\" ")
+        try:
+            return int(s)  # 1 (final ERA5) sorts before 5 (ERA5T)
+        except ValueError:
+            return 99
+
+    order = (np.argsort([_rank(v) for v in expver_vals], kind="stable")
+             if expver_vals is not None and len(expver_vals) == n
+             else np.arange(n))
+    out = arr[order[0]].copy()
+    for i in order[1:]:
+        hole = np.isnan(out)
+        out[hole] = arr[i][hole]
+    return out
 
 
 def _concat_time(parts):

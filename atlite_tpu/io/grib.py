@@ -134,6 +134,19 @@ def _decode_grib1_message(buf, off):
     time_unit, p1, p2, tri = pds[17], pds[18], pds[19], pds[20]
     century = pds[24]
     dec_scale = _sm16(pds[26:28])
+    # ECMWF local extension (centre 98, local definition 1): octet 41 is
+    # the local definition number, octets 46-49 the 4-char experiment
+    # version — "0001" = final ERA5, "0005" = preliminary ERA5T (the
+    # dual-stream layout near-present CDS GRIB downloads carry; the
+    # reference resolves it through cfgrib, era5.py:352-429)
+    expver = None
+    if pds[4] == 98 and pds_len >= 49:
+        try:
+            ev = pds[45:49].decode("ascii")
+            if ev.strip() and all(c.isalnum() for c in ev.strip()):
+                expver = ev
+        except UnicodeDecodeError:
+            pass
     year = (century - 1) * 100 + yy
     step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0}.get(
         time_unit, 1.0)
@@ -207,7 +220,7 @@ def _decode_grib1_message(buf, off):
     return {
         "shortName": short, "values": grid, "lats": lats, "lons": lons,
         "valid_time": valid_time, "level_type": level_type, "level": level,
-        "edition": 1, "param": (table2, param),
+        "edition": 1, "param": (table2, param), "expver": expver,
     }, off + total
 
 
@@ -263,6 +276,18 @@ def encode_grib1(records):
         pds[24] = century + 1
         pds[25] = 0
         pds[26:28] = _sm16_encode(dec_scale)
+        if rec.get("expver") is not None:
+            # ECMWF local definition 1 (octets 41-52): local def number,
+            # MARS class/type/stream, 4-char expver
+            pds.extend(bytes(12))            # octets 29-40 reserved
+            pds.append(1)                    # octet 41: local definition 1
+            pds.append(23)                   # octet 42: MARS class 'ea'
+            pds.append(2)                    # octet 43: MARS type 'an'
+            pds.extend((1025).to_bytes(2, "big"))  # octets 44-45: stream
+            ev = str(rec["expver"]).encode("ascii")[:4].ljust(4, b"0")
+            pds.extend(ev)                   # octets 46-49: expver
+            pds.extend(bytes(3))             # octets 50-52 padding
+            pds[0:3] = (len(pds)).to_bytes(3, "big")
 
         gds = bytearray(32)
         gds[0:3] = (32).to_bytes(3, "big")
@@ -655,6 +680,12 @@ def to_dataset(records):
     data = {}
     for name, recs in by_var.items():
         arr = np.full((len(times), len(lats), len(lons)), np.nan)
+        # ERA5/ERA5T dual-stream merge: where both experiment versions
+        # cover a valid_time, the final ERA5 ("0001") message must win
+        # over preliminary ERA5T ("0005") — stable sort applies 0001
+        # last so it overwrites (reference behavior via cfgrib +
+        # test_preparation_and_conversion.py:524-555)
+        recs = sorted(recs, key=lambda r: r.get("expver") == "0001")
         for r in recs:
             vals = r["values"]
             if flip:
