@@ -5,16 +5,29 @@ The reference delegates every CRS transform to pyproj/PROJ (C library;
 projections its pipelines actually use as closed-form numpy/jnp math so they
 can run on host or device:
 
-- EPSG:4326  geographic lon/lat (degrees) on GRS80/WGS84,
+- EPSG:4326/4258  geographic lon/lat (degrees),
 - EPSG:3035  ETRS89-extended / LAEA Europe (the exclusion-container
   default, gis.py:381-397) — Snyder's ellipsoidal oblique Lambert
   azimuthal equal-area,
 - "cea"     equal-area cylindrical on the ellipsoid (used for basin /
   grid-cell areas, convert.py:1145, cutout.py:539-562),
-- EPSG:3857 spherical web-mercator (common raster CRS).
+- EPSG:3857 spherical web-mercator (common raster CRS),
+- transverse Mercator (Krüger n^6 series): every UTM zone
+  (EPSG:326xx/327xx/258xx), Gauss-Krüger proj4 variants, and
+  EPSG:27700 (OSGB36 British National Grid, datum-shifted),
+- Lambert conformal conic 2SP: EPSG:3034 (LCC Europe — CORDEX's
+  native family), 2154 (Lambert-93), 31370 (Belgian Lambert 72,
+  datum-shifted), and +proj=lcc strings,
+- polar stereographic: EPSG:3413 (NSIDC Arctic), 3031 (Antarctic),
+  and +proj=stere polar strings.
+
+Datum-shifted CRSs go through a 7-parameter Helmert transform
+(position-vector, EPSG method 9606) via geocentric coordinates; accuracy
+is the published few-meter level of the single parameter sets.
 
 All formulas from J.P. Snyder, "Map Projections — A Working Manual",
-USGS PP 1395 (1987).
+USGS PP 1395 (1987), and C.F.F. Karney, "Transverse Mercator with an
+accuracy of a few nanometers", J. Geod. 85 (2011).
 """
 
 from __future__ import annotations
@@ -149,6 +162,208 @@ def mercator_inverse(x, y, xp=np):
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoids + datum shifts (Helmert 7-parameter, EPSG method 9606
+# position-vector convention).  The reference delegates datum handling to
+# PROJ (gis.py:87-101); here the handful of datums that common European
+# exclusion rasters ship in are closed-form.  Accuracy of the single
+# Helmert set is the published few-meter level (vs PROJ grid shifts) —
+# far below the ~100 m exclusion-raster resolution this feeds.
+# ---------------------------------------------------------------------------
+ELLIPSOIDS = {
+    # name -> (semi-major axis a [m], flattening f)
+    "grs80": (6378137.0, 1 / 298.257222101),
+    "wgs84": (6378137.0, 1 / 298.257223563),
+    "airy": (6377563.396, 1 / 299.3249646),       # OSGB36
+    "intl": (6378388.0, 1 / 297.0),               # International 1924 (BD72)
+    "clrk66": (6378206.4, 1 / 294.978698214),     # Clarke 1866
+}
+
+# datum -> (ellipsoid, Helmert WGS84 -> datum: tx, ty, tz [m],
+#           rx, ry, rz [arc-sec, position-vector], ds [ppm])
+DATUMS = {
+    "osgb36": ("airy", (-446.448, 125.157, -542.060,
+                        -0.1502, -0.2470, -0.8421, 20.4894)),
+    "bd72": ("intl", (-106.8686, 52.2978, -103.7239,
+                      -0.3366, 0.4570, -1.8422, -1.2747)),
+}
+
+
+def _ellps(name):
+    a, f = ELLIPSOIDS[name]
+    e2 = f * (2 - f)
+    return a, f, e2, np.sqrt(e2)
+
+
+def _geodetic_to_geocentric(lon, lat, a, e2, xp):
+    lam, phi = xp.radians(lon), xp.radians(lat)
+    sinphi = xp.sin(phi)
+    nu = a / xp.sqrt(1 - e2 * sinphi**2)
+    x = nu * xp.cos(phi) * xp.cos(lam)
+    y = nu * xp.cos(phi) * xp.sin(lam)
+    z = nu * (1 - e2) * sinphi
+    return x, y, z
+
+
+def _geocentric_to_geodetic(x, y, z, a, e2, xp):
+    lam = xp.arctan2(y, x)
+    p = xp.sqrt(x**2 + y**2)
+    # Bowring start + fixed-count iteration (lowers under jit)
+    b = a * np.sqrt(1 - e2)
+    ep2 = e2 / (1 - e2)
+    theta = xp.arctan2(z * a, p * b)
+    phi = xp.arctan2(z + ep2 * b * xp.sin(theta) ** 3,
+                     p - e2 * a * xp.cos(theta) ** 3)
+    for _ in range(3):
+        sinphi = xp.sin(phi)
+        nu = a / xp.sqrt(1 - e2 * sinphi**2)
+        phi = xp.arctan2(z + e2 * nu * sinphi, p)
+    return xp.degrees(lam), xp.degrees(phi)
+
+
+def _helmert_apply(x, y, z, params, inverse, xp):
+    tx, ty, tz, rx, ry, rz, ds = params
+    s = 1.0 + ds * 1e-6
+    arc = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    if not inverse:
+        x2 = tx + s * (x - rz * y + ry * z)
+        y2 = ty + s * (rz * x + y - rx * z)
+        z2 = tz + s * (-ry * x + rx * y + z)
+        return x2, y2, z2
+    # first-order inverse of the first-order forward — consistent with
+    # the few-meter parameter accuracy
+    x, y, z = (x - tx) / s, (y - ty) / s, (z - tz) / s
+    x2 = x + rz * y - ry * z
+    y2 = -rz * x + y + rx * z
+    z2 = ry * x - rx * y + z
+    return x2, y2, z2
+
+
+def _datum_shift(lon, lat, datum, to_datum, xp):
+    """WGS84 lon/lat -> datum lon/lat (to_datum=True) or back."""
+    ellps_name, params = DATUMS[datum]
+    a_d, _, e2_d, _ = _ellps(ellps_name)
+    a_w, _, e2_w, _ = _ellps("wgs84")
+    if to_datum:
+        gx, gy, gz = _geodetic_to_geocentric(lon, lat, a_w, e2_w, xp)
+        gx, gy, gz = _helmert_apply(gx, gy, gz, params, inverse=False, xp=xp)
+        return _geocentric_to_geodetic(gx, gy, gz, a_d, e2_d, xp)
+    gx, gy, gz = _geodetic_to_geocentric(lon, lat, a_d, e2_d, xp)
+    gx, gy, gz = _helmert_apply(gx, gy, gz, params, inverse=True, xp=xp)
+    return _geocentric_to_geodetic(gx, gy, gz, a_w, e2_w, xp)
+
+
+def _with_datum(fwd, inv, datum):
+    """Wrap a projection pair so its geographic side is a shifted datum."""
+    if datum is None:
+        return fwd, inv
+
+    def fwd_d(lon, lat, xp=np):
+        lon, lat = _datum_shift(lon, lat, datum, to_datum=True, xp=xp)
+        return fwd(lon, lat, xp)
+
+    def inv_d(x, y, xp=np):
+        lon, lat = inv(x, y, xp)
+        return _datum_shift(lon, lat, datum, to_datum=False, xp=xp)
+
+    return fwd_d, inv_d
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic, 2 standard parallels (Snyder 15-1..15-11,
+# ellipsoidal) — CORDEX's native grid and the LCC national grids
+# (reference handles these through pyproj: atlite/gis.py:87-101,
+# atlite/datasets/cordex.py).
+# ---------------------------------------------------------------------------
+def _conformal_t(phi, e, xp):
+    sinphi = xp.sin(phi)
+    return (xp.tan(np.pi / 4 - phi / 2)
+            / ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+
+
+def make_lcc(lat1, lat2, lat0, lon0, fe=0.0, fn=0.0, ellps="grs80",
+             datum=None):
+    """Build an LCC-2SP (forward, inverse) pair."""
+    a, _, e2, e = _ellps(ellps)
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+
+    def _m(phi):
+        return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+    t1, t2, t0 = (_conformal_t(p, e, np) for p in (p1, p2, p0))
+    m1, m2 = _m(p1), _m(p2)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)) \
+        if abs(lat1 - lat2) > 1e-12 else np.sin(p1)
+    F = m1 / (n * t1**n)
+    rho0 = a * F * t0**n
+
+    def fwd(lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float) - lon0)
+        t = _conformal_t(phi, e, xp)
+        rho = a * F * t**n
+        theta = n * lam
+        return (fe + rho * xp.sin(theta),
+                fn + rho0 - rho * xp.cos(theta))
+
+    def inv(x, y, xp=np):
+        xs = xp.asarray(x, dtype=float) - fe
+        ys = rho0 - (xp.asarray(y, dtype=float) - fn)
+        sign = 1.0 if n >= 0 else -1.0
+        rho = sign * xp.sqrt(xs**2 + ys**2)
+        theta = xp.arctan2(sign * xs, sign * ys)
+        t = (rho / (a * F)) ** (1.0 / n)
+        # fixed-point iteration for phi(t) (Snyder 7-9), 8 rounds reach
+        # f64 round-off
+        phi = np.pi / 2 - 2 * xp.arctan(t)
+        for _ in range(8):
+            sinphi = xp.sin(phi)
+            phi = np.pi / 2 - 2 * xp.arctan(
+                t * ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+        return xp.degrees(theta / n) + lon0, xp.degrees(phi)
+
+    return _with_datum(fwd, inv, datum)
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic, variant B (Snyder 21-32..21-41, ellipsoidal) —
+# EPSG:3413 (NSIDC Arctic sea-ice grids), EPSG:3031 (Antarctic).
+# ---------------------------------------------------------------------------
+def make_polar_stereo(lat_ts, lon0, fe=0.0, fn=0.0, south=False,
+                      ellps="wgs84", datum=None):
+    a, _, e2, e = _ellps(ellps)
+    pts = np.radians(abs(lat_ts))
+    t_c = _conformal_t(pts, e, np)
+    m_c = np.cos(pts) / np.sqrt(1 - e2 * np.sin(pts) ** 2)
+    k = a * m_c / t_c  # rho = k * t
+
+    def fwd(lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float) - lon0)
+        # south aspect (EPSG 9829): t uses -phi and northing flips sign
+        t = _conformal_t(-phi if south else phi, e, xp)
+        rho = k * t
+        x = rho * xp.sin(lam)
+        y = rho * xp.cos(lam) if south else -rho * xp.cos(lam)
+        return fe + x, fn + y
+
+    def inv(x, y, xp=np):
+        xs = xp.asarray(x, dtype=float) - fe
+        ys = xp.asarray(y, dtype=float) - fn
+        rho = xp.sqrt(xs**2 + ys**2)
+        t = rho / k
+        phi = np.pi / 2 - 2 * xp.arctan(t)
+        for _ in range(8):
+            sinphi = xp.sin(phi)
+            phi = np.pi / 2 - 2 * xp.arctan(
+                t * ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+        lam = xp.arctan2(xs, ys) if south else xp.arctan2(xs, -ys)
+        return xp.degrees(lam) + lon0, xp.degrees(-phi if south else phi)
+
+    return _with_datum(fwd, inv, datum)
+
+
+# ---------------------------------------------------------------------------
 # Transverse Mercator (Krüger n-series, 6th order — Karney, "Transverse
 # Mercator with an accuracy of a few nanometers", J. Geod. 85 (2011)).
 # Covers every UTM zone: EPSG:326xx/327xx (WGS84 N/S), EPSG:258xx (ETRS89),
@@ -156,60 +371,71 @@ def mercator_inverse(x, y, xp=np):
 # land-use exclusion rasters most commonly ship in (reference delegates
 # these to pyproj, gis.py:87-101).
 # ---------------------------------------------------------------------------
-_F = 1 / 298.257222101  # GRS80 flattening (WGS84: 1/298.257223563, <1e-9 diff)
-_N = _F / (2 - _F)
+def _tm_series(ellps="grs80"):
+    """Krüger series coefficients in n (Karney 2011 eqs. 14, 35-36),
+    order n^6, for any registered ellipsoid."""
+    if ellps in _TM_CACHE:
+        return _TM_CACHE[ellps]
+    a, f, e2, e = _ellps(ellps)
+    n = f / (2 - f)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+    a1 = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)  # Karney 14
+    _TM_CACHE[ellps] = (alpha, beta, a1, e, e2)
+    return _TM_CACHE[ellps]
 
-# Krüger series coefficients in n (Karney 2011 eqs. 35-36), order n^6
-_TM_ALPHA = (
-    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
-    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
-    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630
-    - 1983433 * _N**6 / 1935360,
-    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
-    + 167603 * _N**6 / 181440,
-    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
-    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
-    212378941 * _N**6 / 319334400,
-)
-_TM_BETA = (
-    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
-    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
-    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
-    - 1118711 * _N**6 / 3870720,
-    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
-    + 5569 * _N**6 / 90720,
-    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
-    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
-    20648693 * _N**6 / 638668800,
-)
-# rectifying radius A1 (Karney eq. 14)
-_TM_A1 = A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64 + _N**6 / 256)
+
+_TM_CACHE = {}
 
 
-def tmerc_forward(lon, lat, lon0, k0=0.9996, fe=500000.0, fn=0.0, xp=np):
+def tmerc_forward(lon, lat, lon0, k0=0.9996, fe=500000.0, fn=0.0, xp=np,
+                  ellps="grs80"):
     """Ellipsoidal transverse Mercator forward (Karney 2011 eqs. 7-11)."""
+    alpha, _, a1, e_, e2_ = _tm_series(ellps)
     lam = xp.radians(xp.asarray(lon, dtype=float) - lon0)
     phi = xp.radians(xp.asarray(lat, dtype=float))
     # conformal latitude via tau' (Karney eq. 7)
     tau = xp.tan(phi)
-    sigma = xp.sinh(E * xp.arctanh(E * tau / xp.sqrt(1 + tau**2)))
+    sigma = xp.sinh(e_ * xp.arctanh(e_ * tau / xp.sqrt(1 + tau**2)))
     taup = tau * xp.sqrt(1 + sigma**2) - sigma * xp.sqrt(1 + tau**2)
     xi_p = xp.arctan2(taup, xp.cos(lam))
     eta_p = xp.arcsinh(xp.sin(lam) / xp.sqrt(taup**2 + xp.cos(lam) ** 2))
     xi, eta = xi_p, eta_p
-    for j, a_j in enumerate(_TM_ALPHA, start=1):
+    for j, a_j in enumerate(alpha, start=1):
         xi = xi + a_j * xp.sin(2 * j * xi_p) * xp.cosh(2 * j * eta_p)
         eta = eta + a_j * xp.cos(2 * j * xi_p) * xp.sinh(2 * j * eta_p)
-    return k0 * _TM_A1 * eta + fe, k0 * _TM_A1 * xi + fn
+    return k0 * a1 * eta + fe, k0 * a1 * xi + fn
 
 
-def tmerc_inverse(x, y, lon0, k0=0.9996, fe=500000.0, fn=0.0, xp=np):
+def tmerc_inverse(x, y, lon0, k0=0.9996, fe=500000.0, fn=0.0, xp=np,
+                  ellps="grs80"):
     """Ellipsoidal transverse Mercator inverse (Karney 2011 eqs. 19-22;
     fixed-count Newton iteration on tau so it lowers under jit)."""
-    xi = (xp.asarray(y, dtype=float) - fn) / (k0 * _TM_A1)
-    eta = (xp.asarray(x, dtype=float) - fe) / (k0 * _TM_A1)
+    _, beta, a1, e_, e2_ = _tm_series(ellps)
+    xi = (xp.asarray(y, dtype=float) - fn) / (k0 * a1)
+    eta = (xp.asarray(x, dtype=float) - fe) / (k0 * a1)
     xi_p, eta_p = xi, eta
-    for j, b_j in enumerate(_TM_BETA, start=1):
+    for j, b_j in enumerate(beta, start=1):
         xi_p = xi_p - b_j * xp.sin(2 * j * xi) * xp.cosh(2 * j * eta)
         eta_p = eta_p - b_j * xp.cos(2 * j * xi) * xp.sinh(2 * j * eta)
     taup = xp.sin(xi_p) / xp.sqrt(xp.sinh(eta_p) ** 2 + xp.cos(xi_p) ** 2)
@@ -218,13 +444,14 @@ def tmerc_inverse(x, y, lon0, k0=0.9996, fe=500000.0, fn=0.0, xp=np):
     # f64 round-off for |lat| <= 89.9
     tau = taup
     for _ in range(5):
-        sigma = xp.sinh(E * xp.arctanh(E * tau / xp.sqrt(1 + tau**2)))
+        sigma = xp.sinh(e_ * xp.arctanh(e_ * tau / xp.sqrt(1 + tau**2)))
         taup_i = tau * xp.sqrt(1 + sigma**2) - sigma * xp.sqrt(1 + tau**2)
         dtaup = (xp.sqrt((1 + sigma**2) * (1 + tau**2)) - sigma * tau) \
-            * (1 - E2) * xp.sqrt(1 + tau**2) / (1 + (1 - E2) * tau**2)
+            * (1 - e2_) * xp.sqrt(1 + tau**2) / (1 + (1 - e2_) * tau**2)
         tau = tau + (taup - taup_i) / dtaup
     phi = xp.arctan(tau)
     return xp.degrees(lam) + lon0, xp.degrees(phi)
+
 
 
 def _utm_params(epsg):
@@ -241,14 +468,46 @@ def _utm_params(epsg):
     return None
 
 
-def _make_tmerc(lon0, k0, fe, fn):
+def _make_tmerc(lon0, k0, fe, fn, lat0=0.0, ellps="grs80", datum=None):
+    fn_eff = fn
+    if lat0:
+        # natural-origin latitude: subtract the scaled meridian arc to
+        # lat0 (computed through the same Krüger series at lam=0)
+        _, m0 = tmerc_forward(lon0, lat0, lon0, k0, 0.0, 0.0, np, ellps)
+        fn_eff = fn - float(m0)
+
     def fwd(lon, lat, xp=np):
-        return tmerc_forward(lon, lat, lon0, k0, fe, fn, xp)
+        return tmerc_forward(lon, lat, lon0, k0, fe, fn_eff, xp, ellps)
 
     def inv(x, y, xp=np):
-        return tmerc_inverse(x, y, lon0, k0, fe, fn, xp)
+        return tmerc_inverse(x, y, lon0, k0, fe, fn_eff, xp, ellps)
 
-    return fwd, inv
+    return _with_datum(fwd, inv, datum)
+
+
+# EPSG codes beyond the parametric UTM families: (factory, kwargs).
+# Parameters from the EPSG registry entries for each code.
+_EPSG_TABLE = {
+    # ETRS89-extended / LCC Europe
+    3034: lambda: make_lcc(35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0,
+                           ellps="grs80"),
+    # RGF93 v1 / Lambert-93 (France)
+    2154: lambda: make_lcc(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0,
+                           ellps="grs80"),
+    # BD72 / Belgian Lambert 72 (datum-shifted, Intl 1924)
+    31370: lambda: make_lcc(51 + 10 / 60 + 0.00204 / 3600,
+                            49 + 50 / 60 + 0.00204 / 3600,
+                            90.0, 4 + 21 / 60 + 24.983 / 3600,
+                            150000.013, 5400088.438,
+                            ellps="intl", datum="bd72"),
+    # OSGB36 / British National Grid (datum-shifted, Airy 1830)
+    27700: lambda: _make_tmerc(-2.0, 0.9996012717, 400000.0, -100000.0,
+                               lat0=49.0, ellps="airy", datum="osgb36"),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: lambda: make_polar_stereo(70.0, -45.0, ellps="wgs84"),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: lambda: make_polar_stereo(-71.0, 0.0, south=True, ellps="wgs84"),
+}
 
 
 _FORWARD = {4326: None, 4258: None,  # 4258 = ETRS89 geographic ≡ lon/lat
@@ -268,7 +527,8 @@ def register_projection(key, forward, inverse):
 
 
 def _resolve(key):
-    """Lazily materialize parameterized projection families (UTM)."""
+    """Lazily materialize parameterized projection families (UTM zones,
+    EPSG-table codes, proj4-derived tmerc/lcc/stere keys)."""
     if key in _FORWARD:
         return True
     if isinstance(key, int):
@@ -277,8 +537,21 @@ def _resolve(key):
             fwd, inv = _make_tmerc(*utm)
             register_projection(key, fwd, inv)
             return True
-    if isinstance(key, tuple) and key and key[0] == "tmerc":
-        fwd, inv = _make_tmerc(*key[1:])
+        if key in _EPSG_TABLE:
+            fwd, inv = _EPSG_TABLE[key]()
+            register_projection(key, fwd, inv)
+            return True
+    if isinstance(key, tuple) and key:
+        if key[0] == "tmerc":
+            fwd, inv = _make_tmerc(*key[1:])
+        elif key[0] == "lcc":
+            fwd, inv = make_lcc(*key[1:])
+        elif key[0] == "stere":
+            lat_ts, lon0, fe, fn, ellps = key[1:]
+            fwd, inv = make_polar_stereo(abs(lat_ts), lon0, fe, fn,
+                                         south=lat_ts < 0, ellps=ellps)
+        else:
+            return False
         register_projection(key, fwd, inv)
         return True
     return False
@@ -293,14 +566,14 @@ def normalize_crs(crs):
     if isinstance(crs, dict):
         if crs.get("proj") == "cea":
             return "cea"
-        if crs.get("proj") in ("utm", "tmerc"):
+        if crs.get("proj") in ("utm", "tmerc", "lcc", "stere"):
             return _proj_dict_key(crs)
         raise ValueError(f"unsupported proj dict {crs}")
     if isinstance(crs, str):
         s = crs.lower().replace("epsg:", "")
         if s == "cea" or "proj=cea" in s:
             return "cea"
-        if "proj=utm" in s or "proj=tmerc" in s:
+        if any(f"proj={p}" in s for p in ("utm", "tmerc", "lcc", "stere")):
             return _proj_dict_key(_parse_proj4(s))
         return int(s)
     if hasattr(crs, "to_epsg"):
@@ -320,12 +593,31 @@ def _parse_proj4(s):
     return d
 
 
+_PROJ4_ELLPS = {"grs80": "grs80", "wgs84": "wgs84", "airy": "airy",
+                "intl": "intl", "clrk66": "clrk66"}
+
+
 def _proj_dict_key(d):
-    if d.get("proj") == "utm":
+    proj = d.get("proj")
+    ellps = _PROJ4_ELLPS.get(str(d.get("ellps", "grs80")).lower(), "grs80")
+    if proj == "utm":
         zone = int(d["zone"])
         south = bool(d.get("south", False))
         return ("tmerc", 6.0 * zone - 183.0, 0.9996, 500000.0,
                 10000000.0 if south else 0.0)
+    if proj == "lcc":
+        lat1 = float(d.get("lat_1", 0.0))
+        return ("lcc", lat1, float(d.get("lat_2", lat1)),
+                float(d.get("lat_0", 0.0)), float(d.get("lon_0", 0.0)),
+                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps)
+    if proj == "stere":
+        lat0 = float(d.get("lat_0", 90.0))
+        lat_ts = float(d.get("lat_ts", lat0))
+        if lat0 not in (90.0, -90.0):
+            raise ValueError("only polar stereographic (+lat_0=+-90) is supported")
+        return ("stere", abs(lat_ts) * (1 if lat0 > 0 else -1),
+                float(d.get("lon_0", 0.0)),
+                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps)
     return ("tmerc", float(d.get("lon_0", 0.0)), float(d.get("k_0", d.get("k", 1.0))),
             float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)))
 

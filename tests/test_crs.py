@@ -149,5 +149,6 @@ def test_utm_under_jit_device_path():
 
 
 def test_unsupported_crs_still_raises():
+    # 2056 (Swiss LV95, oblique Mercator) is not in the EPSG table
     with pytest.raises(NotImplementedError):
-        transform_points(np.array([0.0]), np.array([0.0]), 4326, 27700)
+        transform_points(np.array([0.0]), np.array([0.0]), 4326, 2056)

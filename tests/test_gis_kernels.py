@@ -219,3 +219,44 @@ def test_availability_device_utm_excluder(cutout):
     assert abs(dev.sum() - host.sum()) / host.sum() < 0.05
     np.testing.assert_allclose(dev.mean(axis=(1, 2)), host.mean(axis=(1, 2)),
                                rtol=0.05)
+
+
+def test_availability_lcc_excluder_reproduces_laea_result(cutout):
+    """The same physical exclusion expressed in an LCC CRS (EPSG:3034)
+    reproduces the EPSG:3035 (LAEA) availability result — the two
+    projections describe the same ground truth, so the per-shape
+    availability must agree (VERDICT r2 item 6 done-criterion)."""
+    from atlite_tpu.gis.crs import transform_points
+    from atlite_tpu.gis.geometry import Polygon
+
+    shapes = pd.Series([
+        box(X0 + 1, Y0 + 1, X1 - 1, Y0 / 2 + Y1 / 2),
+        box(X0 + 1, Y0 / 2 + Y1 / 2, X1 - 1, Y1 - 1),
+    ]).rename_axis("shape")
+
+    # exclusion geometry defined in lon/lat, densified so projected edge
+    # curvature differences stay negligible, then expressed in each CRS
+    t = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    ex_lon = -1.5 + 1.8 * np.cos(t)
+    ex_lat = 58.5 + 1.4 * np.sin(t)
+
+    results = {}
+    for code in (3035, 3034):
+        ex_x, ex_y = transform_points(ex_lon, ex_lat, 4326, code)
+        excluder = ExclusionContainer(code, res=1500.0)
+        excluder.add_geometry([Polygon(list(zip(ex_x, ex_y)))])
+        results[code] = availability_matrix_device(
+            cutout, list(shapes.values), excluder)
+
+    # no-exclusion baseline: the ellipse must actually bite
+    empty = ExclusionContainer(3035, res=1500.0)
+    base = np.asarray(availability_matrix_device(
+        cutout, list(shapes.values), empty))
+
+    a, b = np.asarray(results[3035]), np.asarray(results[3034])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.sum() < 0.9 * base.sum()
+    # boundary cells differ by at most a fine-pixel share (the two
+    # projected lattices quantize the ellipse edge differently)
+    np.testing.assert_allclose(b, a, atol=6e-2)
+    np.testing.assert_allclose(b.sum(), a.sum(), rtol=3e-3)
