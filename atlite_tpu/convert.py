@@ -160,8 +160,7 @@ def convert_and_aggregate(
     func_name = convert_func.__name__.replace("convert_", "")
     logger.info(f"Convert and aggregate '{func_name}'.")
     time_chunk = convert_kwds.pop("time_chunk", None)
-    if time_chunk is None and convert_func not in (convert_heat_demand,
-                                                   convert_cooling_demand):
+    if time_chunk is None:
         # stored chunking (Cutout(..., chunksize_time=N), the analog of
         # the reference's persisted dask chunks) is the streaming default
         time_chunk = (cutout.chunks or {}).get("time")
@@ -311,10 +310,35 @@ def _streaming_vars(cutout, convert_func, convert_kwds):
     if convert_func is convert_coefficient_of_performance:
         src = convert_kwds.get("source", "air")
         return {"temperature" if src == "air" else "soil temperature"}
+    if convert_func in (convert_heat_demand, convert_cooling_demand):
+        return {"temperature"}
     if convert_func is convert_runoff:
         extra = {"height"} if convert_kwds.get("weight_with_height", True) else set()
         return {"runoff"} | extra
     return None
+
+
+def _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds):
+    """[t0, t1, ...] chunk boundaries along the hour axis.
+
+    Plain converters cut every ``time_chunk`` hours.  The daily-resample
+    demand converters snap boundaries to (hour_shift-) day edges so no
+    day group is ever split across chunks — each chunk then resamples its
+    whole days independently and the concatenation equals the unchunked
+    result (reference day semantics: convert.py:428-443)."""
+    T = len(cutout.grid_desc.time)
+    if convert_func not in (convert_heat_demand, convert_cooling_demand):
+        return list(range(0, T, time_chunk)) + [T]
+    _, ids = timeutil.daily_groups(cutout.grid_desc.time,
+                                   convert_kwds.get("hour_shift", 0.0))
+    ids = np.asarray(ids)
+    starts = np.flatnonzero(np.r_[True, np.diff(ids) != 0])
+    bounds = [0]
+    for s in starts[1:]:
+        if int(s) - bounds[-1] >= time_chunk:
+            bounds.append(int(s))
+    bounds.append(T)
+    return bounds
 
 
 def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
@@ -326,14 +350,10 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
     cutout.py:143).  The readback is pipelined one chunk deep: while chunk
     k computes, chunk k-1's result transfers out — so peak device memory
     is one chunk's fields plus (at most) two chunk results; size
-    ``time_chunk`` accordingly.  Only valid for time-local converters
-    (everything except the daily-resample demand converters).
+    ``time_chunk`` accordingly.  Demand converters stream over day-aligned
+    chunks (see _chunk_bounds); their concatenated daily output equals the
+    unchunked result.
     """
-    if convert_func in (convert_heat_demand, convert_cooling_demand):
-        raise ValueError(
-            "time_chunk is not supported for daily-resampled demand "
-            "converters (chunk boundaries would split days)"
-        )
     T = len(cutout.grid_desc.time)
     if T == 0 or time_chunk <= 0:
         raise ValueError(
@@ -349,11 +369,13 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
             != "time"
         }
 
-    pieces = []
+    bounds = _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds)
+    pieces, times = [], []
     prev = None
-    for t0 in range(0, T, time_chunk):
-        sub = cutout.isel_time(t0, min(t0 + time_chunk, T), only=needed)
+    for t0, t1 in zip(bounds[:-1], bounds[1:]):
+        sub = cutout.isel_time(t0, t1, only=needed)
         da = convert_func(sub, **convert_kwds)  # async XLA dispatch
+        times.append(np.asarray(da.coords["time"].values))
         if prev is not None:
             # sync the PREVIOUS chunk only now — its readback overlaps the
             # current chunk's staging + compute (one-deep pipeline)
@@ -364,7 +386,8 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
     values = np.concatenate(pieces, axis=0)
     return DataArray(
         values,
-        coords={**template.coords, "time": cutout.grid_desc.time_index},
+        coords={**template.coords,
+                "time": pd.DatetimeIndex(np.concatenate(times))},
         dims=template.dims, attrs=template.attrs, name=template.name,
     )
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import logging
 import os
+from pathlib import Path
 
 import numpy as np
 
@@ -101,7 +102,11 @@ def global_mesh(t_axis=None):
 
 def from_global_numpy(mesh, spec, array):
     """Place a (host-replicated) global numpy array onto the mesh: every
-    process materializes only its addressable shards."""
+    process materializes only its addressable shards.
+
+    NOTE: the input array itself lives fully on every host.  For data
+    already persisted in a cutout store use :func:`from_store`, which
+    never materializes the global array anywhere."""
     import jax
     from jax.sharding import NamedSharding
 
@@ -109,6 +114,44 @@ def from_global_numpy(mesh, spec, array):
     array = np.asarray(array)
     return jax.make_array_from_callback(array.shape, sharding,
                                         lambda idx: array[idx])
+
+
+# total bytes copied out of store mmaps by from_store callbacks in this
+# process — observable for the "each host reads only its own time shard"
+# IO-scatter guarantee (SURVEY §5.8; asserted by tests/multihost_worker.py)
+SHARD_BYTES_READ = 0
+
+
+def from_store(mesh, spec, store_path, var, dtype=None):
+    """Shard a stored cutout variable onto the mesh with per-process IO.
+
+    The variable's ``.npy`` file is opened as a memory map and the
+    make_array_from_callback callback slices it per addressable shard —
+    so each process faults in ONLY the pages of its own time/space shards
+    (~1/n_processes of the file), never a host-replicated global array.
+    This is the DCN IO-scatter half of SURVEY §5.8: the store is the
+    shared filesystem artifact; the mesh placement decides which bytes
+    each host touches.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    from atlite_tpu.core.store import _sanitize_var
+
+    path = Path(store_path)
+    if path.suffix != ".atc" and (path.parent / (path.name + ".atc")).exists():
+        path = path.parent / (path.name + ".atc")
+    arr = np.load(path / f"{_sanitize_var(var)}.npy", mmap_mode="r")
+
+    def cb(idx):
+        global SHARD_BYTES_READ
+        out = np.asarray(arr[idx])
+        if dtype is not None:
+            out = out.astype(dtype)
+        SHARD_BYTES_READ += out.nbytes
+        return out
+
+    return jax.make_array_from_callback(arr.shape, NamedSharding(mesh, spec), cb)
 
 
 def allgather(arr):

@@ -78,6 +78,36 @@ def main():
     np.testing.assert_allclose(got, field.reshape(T, -1) @ mat.toarray().T,
                                rtol=1e-4, atol=1e-5)
     print(f"proc {proc_id}: AGG OK", flush=True)
+
+    # --- IO scatter: per-process time-shard reads from the .atc store
+    if len(sys.argv) > 4:
+        store_path = sys.argv[4]
+        import json
+        from pathlib import Path
+
+        var = "wnd100m"
+        fn = Path(store_path) / f"{var}.npy"
+        full = np.load(fn, mmap_mode="r")
+        global_bytes = full.size * full.itemsize
+        # process-local share of the global array under the field sharding:
+        # "t" spans processes, "x" stays inside -> 1/n_processes
+        before = comm.SHARD_BYTES_READ
+        arr = comm.from_store(mesh, field_spec(), store_path, var)
+        read = comm.SHARD_BYTES_READ - before
+        expected = global_bytes // nproc
+        assert read == expected, (
+            f"proc {proc_id} read {read} bytes from the store, expected "
+            f"exactly its 1/{nproc} time shard = {expected}"
+        )
+        # the sharded array still carries the right global values
+        with mesh:
+            total = jax.jit(lambda a: a.sum())(arr)
+        np.testing.assert_allclose(float(np.asarray(total)),
+                                   np.asarray(full, dtype=np.float64).sum(),
+                                   rtol=1e-4)
+        print(f"proc {proc_id}: STORE OK (read {read}/{global_bytes} bytes)",
+              flush=True)
+
     comm.barrier("done")
     print(f"proc {proc_id}: MULTIHOST OK", flush=True)
 

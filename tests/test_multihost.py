@@ -23,7 +23,17 @@ def _free_port():
 
 
 @pytest.mark.parametrize("nproc,local_devices", [(2, 4)])
-def test_two_process_mesh_equals_single_device(nproc, local_devices):
+def test_two_process_mesh_equals_single_device(nproc, local_devices, tmp_path):
+    # a store for the IO-scatter stage: X divisible by the x-axis (4),
+    # T divisible by the process-spanning t-axis (2)
+    from atlite_tpu import Cutout
+
+    c = Cutout(tmp_path / "mh", module="synthetic", x=slice(-4, 1.76),
+               y=slice(56, 60), time="2013-01-01")
+    c.prepare(features=["wind"])
+    store = tmp_path / "mh.atc"
+    assert store.exists()
+
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon pin out
@@ -33,7 +43,8 @@ def test_two_process_mesh_equals_single_device(nproc, local_devices):
         "PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), str(nproc), str(port)],
+            [sys.executable, str(WORKER), str(i), str(nproc), str(port),
+             str(store)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True, cwd=WORKER.parent.parent,
         )
@@ -51,4 +62,4 @@ def test_two_process_mesh_equals_single_device(nproc, local_devices):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "MULTIHOST OK" in out, f"worker {i} incomplete:\n{out}"
-        assert "STEP OK" in out and "AGG OK" in out
+        assert "STEP OK" in out and "AGG OK" in out and "STORE OK" in out
