@@ -1,8 +1,10 @@
 """End-to-end example: cutout creation -> preparation -> wind/PV series.
 
 Mirrors the reference's "Creating a cutout" + "Historic comparison" example
-notebooks with the offline synthetic weather module (swap module="era5"
-with CDS credentials and a NetCDF decoder for real reanalysis data).
+notebooks with the offline synthetic weather module.  For real reanalysis
+data use module="era5" with either CDS credentials (retrieval + built-in
+GRIB/NetCDF decode) or pre-downloaded files via era5_files=...; SARAH
+archives work the same way with module="sarah", sarah_dir=... .
 
 Run:  python examples/create_cutout_and_generate.py
 """
