@@ -89,6 +89,56 @@ def spmm(matrix: sp.spmatrix, flat_tc):
     return jnp.concatenate(outs, axis=1)
 
 
+def spmm_closure(matrix):
+    """Pre-staged device-side aggregation: returns ``f(flat_tc) -> (T, B)``
+    with the matrix (dense / banded / row-chunked dense) resident in HBM
+    after the first call.  The chunked streamer applies this per chunk so
+    only the tiny (B, T_chunk) bus series ever crosses the wire back —
+    without it the full (T_chunk, Y, X) field would be read back each
+    chunk, which measured as half the streamed wire traffic (PERF.md).
+    Staging is lazy and dtype-follows-input so the closure matches the
+    unstreamed ``spmm`` numerics exactly (f64 under x64, f32 on TPU)."""
+    matrix = sp.csr_matrix(matrix)
+    B, C = matrix.shape
+
+    if B * C <= _DENSE_LIMIT:
+        state = {}
+
+        def run(flat):
+            flat = jnp.asarray(flat)
+            if "dense" not in state or state["dt"] != flat.dtype:
+                state["dt"] = flat.dtype
+                state["dense"] = jnp.asarray(matrix.toarray(), dtype=flat.dtype)
+            return _dense_spmm(flat, state["dense"])
+
+        return run
+
+    from atlite_tpu.ops.bsr_spmm import banded_spmm, banded_width, to_banded
+
+    nb, W = banded_width(matrix)
+    block_b = 128
+    if nb * block_b * W <= (B * C) // 2:
+        banded = to_banded(matrix, force_w=W or None)
+        return lambda flat: banded_spmm(banded, flat)
+
+    row_chunk = max(1, _DENSE_LIMIT // C)
+    state = {}
+
+    def run_chunked(flat):
+        flat = jnp.asarray(flat)
+        if "blocks" not in state or state["dt"] != flat.dtype:
+            state["dt"] = flat.dtype
+            state["blocks"] = [
+                jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
+                            dtype=flat.dtype)
+                for b0 in range(0, B, row_chunk)
+            ]
+        return jnp.concatenate(
+            [_dense_spmm(flat, blk) for blk in state["blocks"]], axis=1)
+
+    return run_chunked
+
+
 def aggregate_matrix(da, matrix, index=None, index_name="bus"):
     """Aggregate a (time, y, x) DataArray to (bus, time) with a sparse
     bus-x-cell matrix (reference aggregate.py:16-35).

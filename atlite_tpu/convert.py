@@ -166,10 +166,6 @@ def convert_and_aggregate(
         time_chunk = (cutout.chunks or {}).get("time")
         if time_chunk and time_chunk >= len(cutout.grid_desc.time):
             time_chunk = None  # single chunk: run unstreamed
-    if time_chunk:
-        da = _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds)
-    else:
-        da = convert_func(cutout, **convert_kwds)
 
     no_args = all(v is None for v in [layout, shapes, matrix])
     if no_args:
@@ -178,9 +174,18 @@ def convert_and_aggregate(
                 "One of `matrix`, `shapes` and `layout` must be "
                 "given for `per_unit` or `return_capacity`"
             )
+        if time_chunk:
+            da = _chunked_convert(cutout, convert_func, time_chunk,
+                                  **convert_kwds)
+        else:
+            da = convert_func(cutout, **convert_kwds)
         agg = "sum" if aggregate_time == "legacy" else aggregate_time
         return maybe_progressbar(_aggregate_time_da(da, agg), show_progress)
 
+    # --- compose the aggregation matrix BEFORE converting: the streamed
+    # path fuses the spmm into each chunk so only (bus, T_chunk) series
+    # cross back over the wire (the full field readback otherwise costs
+    # as much as the staging itself)
     if matrix is not None:
         if shapes is not None:
             raise ValueError(
@@ -214,7 +219,12 @@ def convert_and_aggregate(
     if not isinstance(index, pd.Index):
         index = pd.Index(index)
 
-    results = aggregate_matrix(da, matrix=matrix, index=index)
+    if time_chunk:
+        results = _chunked_convert(cutout, convert_func, time_chunk,
+                                   aggregate=(matrix, index), **convert_kwds)
+    else:
+        da = convert_func(cutout, **convert_kwds)
+        results = aggregate_matrix(da, matrix=matrix, index=index)
 
     capacity = None
     if per_unit or return_capacity:
@@ -341,18 +351,25 @@ def _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds):
     return bounds
 
 
-def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
+def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
+                     **convert_kwds):
     """Stream the conversion over time chunks.
 
     For cutouts whose field tensors exceed HBM, each chunk's fields are
     staged to the device, converted, and the result pulled back to host
     memory (the streaming analog of the reference's dask time-chunking,
-    cutout.py:143).  The readback is pipelined one chunk deep: while chunk
-    k computes, chunk k-1's result transfers out — so peak device memory
-    is one chunk's fields plus (at most) two chunk results; size
-    ``time_chunk`` accordingly.  Demand converters stream over day-aligned
-    chunks (see _chunk_bounds); their concatenated daily output equals the
-    unchunked result.
+    cutout.py:143).  The pipeline is double-buffered: a background thread
+    performs chunk k+1's fused host->device staging while chunk k
+    computes, and chunk k-1's readback overlaps both — so the wire stays
+    busy in both directions and peak device memory is two chunks' fields
+    plus two results; size ``time_chunk`` accordingly.
+
+    With ``aggregate=(csr_matrix, index)`` the spatial aggregation is
+    fused into each chunk (matrix staged once via aggregate.spmm_closure)
+    and only the (bus, T_chunk) series crosses back — the full-field
+    readback otherwise costs as much wire time as the staging itself.
+    Demand converters stream over day-aligned chunks (see _chunk_bounds);
+    their concatenated daily output equals the unchunked result.
     """
     T = len(cutout.grid_desc.time)
     if T == 0 or time_chunk <= 0:
@@ -369,21 +386,51 @@ def _chunked_convert(cutout, convert_func, time_chunk, **convert_kwds):
             != "time"
         }
 
+    agg_fn, index, bus_name = None, None, None
+    if aggregate is not None:
+        from atlite_tpu.aggregate import spmm_closure
+
+        matrix, index = aggregate
+        agg_fn = spmm_closure(matrix)
+        bus_name = getattr(index, "name", None) or "bus"
+
     bounds = _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage(t0, t1):
+        sub = cutout.isel_time(t0, t1, only=needed)
+        sub.fields()  # fused device_put happens on this (background) thread
+        return sub
+
     pieces, times = [], []
     prev = None
-    for t0, t1 in zip(bounds[:-1], bounds[1:]):
-        sub = cutout.isel_time(t0, t1, only=needed)
-        da = convert_func(sub, **convert_kwds)  # async XLA dispatch
-        times.append(np.asarray(da.coords["time"].values))
-        if prev is not None:
-            # sync the PREVIOUS chunk only now — its readback overlaps the
-            # current chunk's staging + compute (one-deep pipeline)
-            pieces.append(np.asarray(prev.values))
-        prev = da
-        template = da
-    pieces.append(np.asarray(prev.values))
-    values = np.concatenate(pieces, axis=0)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(stage, bounds[0], bounds[1])
+        for i in range(len(bounds) - 1):
+            sub = fut.result()
+            if i + 2 < len(bounds):
+                fut = ex.submit(stage, bounds[i + 1], bounds[i + 2])
+            da = convert_func(sub, **convert_kwds)  # async XLA dispatch
+            if agg_fn is not None:
+                Tc = da.sizes["time"]
+                out = agg_fn(da.values.reshape(Tc, -1)).T  # (B, Tc), device
+                da = DataArray(
+                    out, coords={bus_name: index, "time": da.coords["time"]},
+                    dims=(bus_name, "time"), attrs=da.attrs, name=da.name,
+                )
+            times.append(np.asarray(da.coords["time"].values))
+            if prev is not None:
+                # sync the PREVIOUS chunk only now — its readback overlaps
+                # the current chunk's staging + compute
+                pieces.append(np.asarray(prev.values))
+            prev = da
+            template = da
+        pieces.append(np.asarray(prev.values))
+    finally:
+        ex.shutdown(wait=True)
+    taxis = template.dims.index("time")
+    values = np.concatenate(pieces, axis=taxis)
     return DataArray(
         values,
         coords={**template.coords,

@@ -116,7 +116,22 @@ def bench_availability():
         dt = min(dt, time.perf_counter() - t0)
     npix = S * 625 * 575  # fine lattice ~ (625, 575)
     assert np.isfinite(out).all()
-    return round(npix / dt / 1e6, 1)
+
+    # numeric cross-check ON THE REAL CHIP: the CPU-backend tests pin
+    # device==host, but TPU f32 semantics (MXU truncation class of bugs,
+    # PERF.md) only show up here — assert parity, report the max diff
+    import pandas as pd
+
+    exc_h = ExclusionContainer(4326, res=0.01)
+    exc_h.add_raster(landuse, codes=[4, 5])
+    host = np.asarray(cutout.availabilitymatrix(
+        pd.Series(shapes), exc_h).values)
+    dev = np.asarray(out)
+    max_diff = float(np.abs(dev - host).max())
+    assert max_diff < 2e-2, (
+        f"TPU availability diverged from host by {max_diff}"
+    )
+    return round(npix / dt / 1e6, 1), round(max_diff, 6)
 
 
 def bench_banded_agg():
@@ -220,7 +235,9 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        # streamed: chunks staged from the mmap'd store, warm page cache
+        # streamed: chunks staged from the mmap'd store (background-thread
+        # double buffering) with the bus aggregation fused per chunk so
+        # only (B, T_chunk) series read back (convert._chunked_convert)
         timed(time_chunk=time_chunk)  # warm-up (compile + page cache)
         stream_secs = timed(time_chunk=time_chunk)
 
@@ -229,18 +246,38 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
         timed(time_chunk=0)
         resident_secs = timed(time_chunk=0)
 
-        # raw host->device bandwidth for context: through the axon relay
-        # this is ~40 MB/s (vs >=10 GB/s PCIe on a real TPU host), which
-        # makes any streamed/resident ratio transfer-bound here
+        # raw host->device bandwidth AT THE STREAMER'S TRANSFER SIZE: the
+        # relay's device_put rate is size-dependent (~25 MB/s at 2 MB,
+        # plateau ~45 MB/s at 16-32 MB; a 64 MB one-shot previously
+        # measured "92 MB/s" because its strided-readback sync raced the
+        # transfer).  A same-size transfer is the honest comparison point
+        # for link utilization.
         import jax.numpy as jnp
 
-        blob = np.zeros(16 * 1024 * 1024, dtype=np.float32)  # 64 MB
-        d = jnp.asarray(blob[:1024]); float(d.sum())
-        raw_mbps = 0.0
+        # pipelined capacity AT THE STREAMER'S TRANSFER SIZE AND DATA:
+        # K back-to-back puts of the actual first chunks' staged stacks
+        # (the relay link is sensitive to both transfer size and payload
+        # compressibility — random blobs understate it for real weather
+        # fields), one sync at the end.  The streamer's double buffering
+        # overlaps per-transfer latency the same way, so this is the
+        # honest 1.0 mark for utilization.
+        K_put = 4
+        Tc = min(time_chunk, T)
+        wind_vars = ["wnd100m", "wnd10m", "roughness"]
+        blobs = []
+        for k in range(K_put):
+            t0_, t1_ = (k * Tc) % T, min((k * Tc) % T + Tc, T)
+            stack = np.stack([np.asarray(c.data[v][t0_:t1_], dtype=np.float32)
+                              for v in wind_vars])
+            blobs.append(np.ascontiguousarray(stack))
+        d = jnp.asarray(blobs[0].ravel()[:1024]); float(d.sum())
+        raw_secs = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            d = jnp.asarray(blob); float(d[::65536].sum())
-            raw_mbps = max(raw_mbps, 64.0 / (time.perf_counter() - t0))
+            ds = [jnp.asarray(b) for b in blobs]
+            float(sum(dd[0, 0, 0, 0] + dd[-1, -1, -1, -1] for dd in ds))
+            raw_secs = min(raw_secs, time.perf_counter() - t0)
+        raw_mbps = K_put * blobs[0].nbytes / 1e6 / raw_secs
 
         # bytes the streamer actually moves (wind log-law: wnd100m,
         # wnd10m, roughness of the 5 stored wind variables)
@@ -257,6 +294,12 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _stage(msg):
+    import sys
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -321,30 +364,47 @@ def main():
     n1, n2 = 1, 5
     run1, run2 = chained(n1), chained(n2)
 
-    def timed(run):
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(*args))  # single host readback forces full sync
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed_once(run):
+        t0 = time.perf_counter()
+        float(run(*args))  # single host readback forces full sync
+        return time.perf_counter() - t0
 
+    _stage("compiling step runs")
     float(run1(*args))
     float(run2(*args))
-    device_secs = (timed(run2) - timed(run1)) / (n2 - n1)
+    _stage("timing step")
+    # headline = difference of the two runs' BEST times (robust to relay
+    # RTT noise, which can exceed the short run's compute entirely);
+    # paired per-repeat estimates are recorded so the noise floor is
+    # visible in the JSON instead of silently moving the headline
+    t1s, t2s, samples = [], [], []
+    for _ in range(5):
+        t1 = timed_once(run1)
+        t2 = timed_once(run2)
+        t1s.append(t1)
+        t2s.append(t2)
+        samples.append((t2 - t1) / (n2 - n1))
+    device_secs = (min(t2s) - min(t1s)) / (n2 - n1)
+    spread_pct = round(
+        100.0 * (max(samples) - min(samples)) / abs(device_secs), 1)
 
     cell_hours = T * Y * X
     throughput = cell_hours / device_secs
 
+    _stage("numpy baseline")
     base_secs = numpy_baseline_seconds(fields_np, lat, V, POWn, matrix)
     vs_baseline = base_secs / device_secs
 
-    avail = bench_availability()
+    _stage("availability")
+    avail, avail_max_diff = bench_availability()
+    _stage("banded agg")
     banded_ms, banded_shape = bench_banded_agg()
+    _stage("streamed full-year")
     if size == "small":
         streamed = bench_streamed(Y=24, X=32, time_chunk=365)
     else:
         streamed = bench_streamed()
+    _stage("done")
 
     print(json.dumps({
         "metric": "grid-cell-hours/s (wind+PV CF + bus aggregation)",
@@ -354,8 +414,11 @@ def main():
         "detail": {
             "T": T, "Y": Y, "X": X, "buses": B,
             "device_secs_per_step": round(device_secs, 6),
+            "device_secs_samples": [round(s, 6) for s in samples],
+            "spread_pct": spread_pct,
             "baseline_secs_per_step": round(base_secs, 4),
             "availability_Mpix_per_s": avail,
+            "availability_dev_vs_host_maxdiff": avail_max_diff,
             "banded_agg_ms": banded_ms,
             "banded_agg_shape": banded_shape,
             "streamed_fullyear": streamed,
