@@ -303,3 +303,20 @@ def test_streamed_only_needed_vars(cutout_week, monkeypatch):
     assert only_sets, "streamer did not engage the variable filter"
     assert "wnd_azimuth" not in only_sets[-1]
     assert "wnd_shear_exp" not in only_sets[-1]
+
+
+def test_pv_on_3h_sampled_cutout():
+    """3-hourly sampling flows through creation -> prepare -> solar chain
+    (reference test_pv_era5_3h_sampling,
+    test_preparation_and_conversion.py:519-522)."""
+    from atlite_tpu import Cutout
+
+    c = Cutout(path=None, module="synthetic", bounds=(-4.0, 56.0, -1.5, 58.0),
+               time="2013-06-21", dt="3h", dtype="float64")
+    c.prepare()
+    assert len(c.grid_desc.time) == 8
+    pv = c.pv(panel="CSi", orientation={"slope": 30.0, "azimuth": 180.0},
+              aggregate_time=None)
+    vals = np.asarray(pv.values)
+    assert vals.shape[0] == 8 and np.isfinite(vals).all()
+    assert vals[4].mean() > 0  # midday sample generates
