@@ -410,7 +410,20 @@ def _decode_grib2_message(buf, off):
             meta.update(category=cat, number=num,
                         level_type=lev_type,
                         level=lev_val / 10 ** lev_scale if lev_scale < 120 else lev_val,
-                        step=fcst * step_h)
+                        step=fcst * step_h, pd_template=tmpl)
+            meta.pop("interval_end", None)
+            if tmpl == 8:
+                # statistical-interval product (accumulated/mean fields —
+                # what CDS GRIB2 uses for ERA5 fluxes): octets 35-41 carry
+                # the END of the interval, which is the label ERA5
+                # conventions use (reference era5.py:174-188)
+                yr = int.from_bytes(buf[body + 29:body + 31], "big")
+                mo, dy = buf[body + 31], buf[body + 32]
+                hr, mi = buf[body + 33], buf[body + 34]
+                meta["interval_end"] = np.datetime64(
+                    f"{yr:04d}-{mo:02d}-{dy:02d}T{hr:02d}:{mi:02d}")
+            elif tmpl != 0:
+                raise NotImplementedError(f"GRIB2 product template {tmpl}")
         elif sec_num == 5:
             ndata = int.from_bytes(buf[body:body + 4], "big")
             tmpl = int.from_bytes(buf[body + 4:body + 6], "big")
@@ -457,8 +470,8 @@ def _decode_grib2_message(buf, off):
         records.append({
             "shortName": short, "values": vals.reshape(meta["nj"], meta["ni"]),
             "lats": meta["lats"], "lons": meta["lons"],
-            "valid_time": meta["ref_time"]
-            + np.timedelta64(int(meta.get("step", 0) * 60), "m"),
+            "valid_time": meta.get("interval_end", meta["ref_time"]
+                                   + np.timedelta64(int(meta.get("step", 0) * 60), "m")),
             "level_type": meta["level_type"], "level": meta["level"],
             "edition": 2, "param": key,
         })
@@ -568,10 +581,17 @@ def encode_grib2(records):
         x = np.round((flat - float(ref)) / 2.0 ** e).astype(np.int64)
         x = np.clip(x, 0, 2**nbits - 1) if nbits else x
 
+        interval_h = rec.get("interval_hours")
+        # interval products reference the START of the interval; the
+        # valid_time labels its end (template 4.8 semantics)
+        t_ref = (np.datetime64(rec["valid_time"], "m")
+                 - np.timedelta64(int(interval_h * 60), "m")).astype(object) \
+            if interval_h else t
         sec1 = (struct.pack(">IB", 21, 1) + struct.pack(">HH", 98, 0)
                 + bytes([2, 1, 1])
-                + struct.pack(">H", t.year)
-                + bytes([t.month, t.day, t.hour, t.minute, 0, 0, 1]))
+                + struct.pack(">H", t_ref.year)
+                + bytes([t_ref.month, t_ref.day, t_ref.hour, t_ref.minute,
+                         0, 0, 1]))
         g = bytearray(72)
         struct.pack_into(">I", g, 0, 72)
         g[4] = 3
@@ -598,11 +618,11 @@ def encode_grib2(records):
         g[body + 53:body + 57] = struct.pack(">I", int(round(dj * 1e6)))
         g[body + 57] = 0x40 if (nj > 1 and lats[1] > lats[0]) else 0
 
-        s4 = bytearray(34)
-        struct.pack_into(">I", s4, 0, 34)
+        s4 = bytearray(58 if interval_h else 34)
+        struct.pack_into(">I", s4, 0, len(s4))
         s4[4] = 4
         struct.pack_into(">H", s4, 5, 0)
-        struct.pack_into(">H", s4, 7, 0)  # template 4.0
+        struct.pack_into(">H", s4, 7, 8 if interval_h else 0)  # template
         s4[9], s4[10] = cat, num
         s4[11] = 0            # generating process: analysis
         s4[12], s4[13] = 255, 255
@@ -614,6 +634,20 @@ def encode_grib2(records):
         s4[28] = 255          # second fixed surface: missing
         s4[29] = 0xFF
         s4[30:34] = b"\xff\xff\xff\xff"
+        if interval_h:
+            # template 4.8 trailer: end-of-interval timestamp + one
+            # accumulation time range of interval_h hours
+            struct.pack_into(">H", s4, 34, t.year)
+            s4[36], s4[37] = t.month, t.day
+            s4[38], s4[39], s4[40] = t.hour, t.minute, 0
+            s4[41] = 1                        # one time range
+            struct.pack_into(">I", s4, 42, 0)  # no missing values
+            s4[46] = 1                        # statistical process: accum
+            s4[47] = 2                        # time-increment type
+            s4[48] = 1                        # range unit: hours
+            struct.pack_into(">I", s4, 49, int(interval_h))
+            s4[53] = 1
+            struct.pack_into(">I", s4, 54, 0)
 
         s5 = (struct.pack(">IB", 21, 5)
               + struct.pack(">I", len(x))

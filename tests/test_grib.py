@@ -164,3 +164,47 @@ def test_to_dataset_orientation():
     np.testing.assert_allclose(data["u100"][1][0, -1],
                                grib.read(grib.encode_grib1(recs))[0]["values"][0],
                                atol=1e-9)
+
+
+def test_grib2_template_48_interval_end_labelling(tmp_path):
+    """Accumulated/mean products (GRIB2 product template 4.8 — what CDS
+    emits for ERA5 fluxes) are labelled by the END of their interval
+    (reference interval-end convention, era5.py:174-188)."""
+    lats = np.array([50.0, 50.25])
+    lons = np.array([-1.0, -0.75, -0.5])
+    rec = {
+        "shortName": "ssrd",
+        "values": np.arange(6.0).reshape(2, 3) * 1000.0,
+        "lats": lats, "lons": lons,
+        "valid_time": np.datetime64("2024-05-01T13:00"),
+        "interval_hours": 1,
+    }
+    raw = grib.encode_grib2([rec])
+    out = grib.read(raw)
+    assert len(out) == 1
+    r = out[0]
+    assert r["shortName"] == "ssrd"
+    # labelled at interval END, not the reference (start) time
+    assert np.datetime64(r["valid_time"], "m") == np.datetime64("2024-05-01T13:00")
+    np.testing.assert_allclose(r["values"], rec["values"], rtol=1e-4, atol=0.1)
+    # plain 4.0 records are unaffected
+    rec2 = dict(rec, valid_time=np.datetime64("2024-05-01T13:00"))
+    rec2.pop("interval_hours")
+    r2 = grib.read(grib.encode_grib2([rec2]))[0]
+    assert np.datetime64(r2["valid_time"], "m") == np.datetime64("2024-05-01T13:00")
+
+
+def test_grib2_unknown_product_template_raises(tmp_path):
+    rec = {
+        "shortName": "t2m",
+        "values": np.ones((2, 3)) * 280.0,
+        "lats": np.array([50.0, 50.25]), "lons": np.array([-1.0, -0.75, -0.5]),
+        "valid_time": np.datetime64("2024-05-01T13:00"),
+    }
+    raw = bytearray(grib.encode_grib2([rec]))
+    # find section 4 (length 34, number 4) and stamp template 4.15
+    idx = raw.find(bytes([0, 0, 0, 34, 4]))
+    assert idx > 0
+    raw[idx + 7:idx + 9] = (15).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="product template"):
+        grib.read(bytes(raw))
