@@ -364,6 +364,49 @@ def make_polar_stereo(lat_ts, lon0, fe=0.0, fn=0.0, south=False,
 
 
 # ---------------------------------------------------------------------------
+# Rotated-pole lon/lat (CF "rotated_latitude_longitude") — the native
+# grid of CORDEX regional climate models (the reference's dead cordex
+# module reads these through pyproj/cf-conventions,
+# /root/reference/atlite/datasets/cordex.py).  The "projected"
+# coordinates are rotated longitudes/latitudes in degrees; the rotated
+# system's north pole sits at true (pole_lon, pole_lat), and the rotated
+# origin (0, 0) lies at true (pole_lon + 180, 90 - pole_lat).
+# Spherical rotation (CF convention); exact on the sphere.
+# ---------------------------------------------------------------------------
+def make_rotated_pole(pole_lon, pole_lat, lon_0=0.0):
+    sp_ = np.sin(np.radians(pole_lat))
+    cp_ = np.cos(np.radians(pole_lat))
+
+    def fwd(lon, lat, xp=np):  # true lon/lat -> rotated lon/lat
+        lam = xp.radians(xp.asarray(lon, dtype=float) - pole_lon - 180.0)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        x1 = xp.cos(phi) * xp.cos(lam)
+        y1 = xp.cos(phi) * xp.sin(lam)
+        z1 = xp.sin(phi)
+        x2 = x1 * sp_ + z1 * cp_
+        z2 = -x1 * cp_ + z1 * sp_
+        rlon = xp.degrees(xp.arctan2(y1, x2)) - lon_0
+        rlat = xp.degrees(xp.arcsin(xp.clip(z2, -1.0, 1.0)))
+        return rlon, rlat
+
+    def inv(rlon, rlat, xp=np):  # rotated lon/lat -> true lon/lat
+        lam = xp.radians(xp.asarray(rlon, dtype=float) + lon_0)
+        phi = xp.radians(xp.asarray(rlat, dtype=float))
+        xr = xp.cos(phi) * xp.cos(lam)
+        yr = xp.cos(phi) * xp.sin(lam)
+        zr = xp.sin(phi)
+        x1 = xr * sp_ - zr * cp_
+        z1 = xr * cp_ + zr * sp_
+        lat = xp.degrees(xp.arcsin(xp.clip(z1, -1.0, 1.0)))
+        lon = xp.degrees(xp.arctan2(yr, x1)) + pole_lon + 180.0
+        lon = xp.where(lon > 180.0, lon - 360.0, lon)
+        lon = xp.where(lon < -180.0, lon + 360.0, lon)
+        return lon, lat
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
 # Transverse Mercator (Krüger n-series, 6th order — Karney, "Transverse
 # Mercator with an accuracy of a few nanometers", J. Geod. 85 (2011)).
 # Covers every UTM zone: EPSG:326xx/327xx (WGS84 N/S), EPSG:258xx (ETRS89),
@@ -546,6 +589,8 @@ def _resolve(key):
             fwd, inv = _make_tmerc(*key[1:])
         elif key[0] == "lcc":
             fwd, inv = make_lcc(*key[1:])
+        elif key[0] == "rotpole":
+            fwd, inv = make_rotated_pole(*key[1:])
         elif key[0] == "stere":
             lat_ts, lon0, fe, fn, ellps = key[1:]
             fwd, inv = make_polar_stereo(abs(lat_ts), lon0, fe, fn,
@@ -563,17 +608,24 @@ def normalize_crs(crs):
     (normalized to a ('tmerc', lon0, k0, fe, fn) key)."""
     if crs is None:
         return 4326
+    if isinstance(crs, tuple):
+        return crs  # already a parameterized projection key
     if isinstance(crs, dict):
+        if "grid_north_pole_longitude" in crs:  # CF rotated-pole attrs
+            return ("rotpole", float(crs["grid_north_pole_longitude"]),
+                    float(crs["grid_north_pole_latitude"]),
+                    float(crs.get("north_pole_grid_longitude", 0.0)))
         if crs.get("proj") == "cea":
             return "cea"
-        if crs.get("proj") in ("utm", "tmerc", "lcc", "stere"):
+        if crs.get("proj") in ("utm", "tmerc", "lcc", "stere", "ob_tran"):
             return _proj_dict_key(crs)
         raise ValueError(f"unsupported proj dict {crs}")
     if isinstance(crs, str):
         s = crs.lower().replace("epsg:", "")
         if s == "cea" or "proj=cea" in s:
             return "cea"
-        if any(f"proj={p}" in s for p in ("utm", "tmerc", "lcc", "stere")):
+        if any(f"proj={p}" in s
+               for p in ("utm", "tmerc", "lcc", "stere", "ob_tran")):
             return _proj_dict_key(_parse_proj4(s))
         return int(s)
     if hasattr(crs, "to_epsg"):
@@ -610,6 +662,15 @@ def _proj_dict_key(d):
         return ("lcc", lat1, float(d.get("lat_2", lat1)),
                 float(d.get("lat_0", 0.0)), float(d.get("lon_0", 0.0)),
                 float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps)
+    if proj == "ob_tran":
+        if str(d.get("o_proj", "")).lower() not in ("longlat", "latlon", "lonlat"):
+            raise ValueError("only +proj=ob_tran +o_proj=longlat (rotated "
+                             "pole) is supported")
+        # PROJ convention: o_lat_p is the pole latitude and lon_0 is the
+        # pole longitude + 180 (coordinates treated as degrees, CF-style)
+        pole_lat = float(d.get("o_lat_p", 90.0))
+        pole_lon = float(d.get("lon_0", 180.0)) - 180.0
+        return ("rotpole", pole_lon, pole_lat, float(d.get("o_lon_p", 0.0)))
     if proj == "stere":
         lat0 = float(d.get("lat_0", 90.0))
         lat_ts = float(d.get("lat_ts", lat0))

@@ -160,3 +160,65 @@ def test_transform_points_xp_jit():
     x, y = f(jnp.asarray([10.0]), jnp.asarray([52.0]))
     np.testing.assert_allclose(np.asarray(x)[0], 4000000.0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(y)[0], 2800000.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# rotated pole (CORDEX native grids)
+# ---------------------------------------------------------------------------
+EURO_CORDEX = {"grid_north_pole_longitude": -162.0,
+               "grid_north_pole_latitude": 39.25}
+
+
+def test_rotated_pole_euro_cordex_anchors():
+    # the EURO-CORDEX rotated origin lies at true (pole_lon+180, 90-pole_lat)
+    lon, lat = crs.transform_points([0.0], [0.0], EURO_CORDEX, 4326)
+    np.testing.assert_allclose([lon[0], lat[0]], [18.0, 50.75], atol=1e-9)
+    rlon, rlat = crs.transform_points([18.0], [50.75], 4326, EURO_CORDEX)
+    np.testing.assert_allclose([rlon[0], rlat[0]], [0.0, 0.0], atol=1e-9)
+    # the true north pole lies 90-pole_lat=50.75 deg up the rotated prime
+    # meridian from the origin: rotated (0, pole_lat)
+    rlon, rlat = crs.transform_points([0.0], [90.0], 4326, EURO_CORDEX)
+    np.testing.assert_allclose(rlon[0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(rlat[0], 39.25, atol=1e-9)
+
+
+def test_rotated_pole_roundtrip_and_isometry():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-25, 45, 50)
+    lat = rng.uniform(30, 72, 50)
+    rlon, rlat = crs.transform_points(lon, lat, 4326, EURO_CORDEX)
+    lon2, lat2 = crs.transform_points(rlon, rlat, EURO_CORDEX, 4326)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    # a pure rotation preserves angular distances between any two points
+    def ang(lo1, la1, lo2, la2):
+        lo1, la1, lo2, la2 = map(np.radians, (lo1, la1, lo2, la2))
+        return np.arccos(np.clip(
+            np.sin(la1) * np.sin(la2)
+            + np.cos(la1) * np.cos(la2) * np.cos(lo1 - lo2), -1, 1))
+
+    d_true = ang(lon[:-1], lat[:-1], lon[1:], lat[1:])
+    d_rot = ang(rlon[:-1], rlat[:-1], rlon[1:], rlat[1:])
+    np.testing.assert_allclose(d_rot, d_true, atol=1e-12)
+
+
+def test_rotated_pole_proj4_ob_tran():
+    s = ("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +lon_0=18.0 "
+         "+o_lon_p=0")
+    lon, lat = crs.transform_points([0.0], [0.0], s, 4326)
+    np.testing.assert_allclose([lon[0], lat[0]], [18.0, 50.75], atol=1e-9)
+
+
+def test_rotated_pole_under_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x, y):
+        return crs.transform_points_xp(
+            x, y, ("rotpole", -162.0, 39.25, 0.0), 4326, jnp)
+
+    lon, lat = f(jnp.asarray([0.0]), jnp.asarray([0.0]))
+    np.testing.assert_allclose(np.asarray(lon)[0], 18.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lat)[0], 50.75, atol=1e-6)
