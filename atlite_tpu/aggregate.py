@@ -63,33 +63,15 @@ def spmm(matrix: sp.spmatrix, flat_tc):
     row chunks.  Element gathers (jnp.take/segment-sum) are never chosen
     on TPU: measured 100-500x slower than block matmuls (PERF.md).
     """
-    B, C = matrix.shape
-    flat_tc = jnp.asarray(flat_tc)
-    if B * C <= _DENSE_LIMIT:
-        dense = jnp.asarray(matrix.toarray(), dtype=flat_tc.dtype)
-        return _dense_spmm(flat_tc, dense)
-
-    from atlite_tpu.ops.bsr_spmm import banded_spmm, banded_width, to_banded
-
-    matrix = matrix.tocsr()
-    # route on the cheap O(nnz) width probe BEFORE materializing bands —
-    # for unbanded matrices the band blocks would be ~B*C host floats
-    nb, W = banded_width(matrix)
-    block_b = 128
-    if nb * block_b * W <= (B * C) // 2:
-        return banded_spmm(to_banded(matrix, force_w=W or None), flat_tc)
-
-    # no exploitable band structure: dense matmul streamed over row chunks
-    row_chunk = max(1, _DENSE_LIMIT // C)
-    outs = []
-    for b0 in range(0, B, row_chunk):
-        dense = jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
-                            dtype=flat_tc.dtype)
-        outs.append(_dense_spmm(flat_tc, dense))
-    return jnp.concatenate(outs, axis=1)
+    # one routing implementation: spmm_closure holds the dense-limit /
+    # banded-probe / row-chunk decision tree, so streamed (per-chunk
+    # closure) and unstreamed aggregation can never desynchronize.
+    # resident=False: a one-shot call must stream row chunks through HBM
+    # one at a time, not cache every chunk device-side at once.
+    return spmm_closure(matrix, resident=False)(flat_tc)
 
 
-def spmm_closure(matrix):
+def spmm_closure(matrix, resident=True):
     """Pre-staged device-side aggregation: returns ``f(flat_tc) -> (T, B)``
     with the matrix (dense / banded / row-chunked dense) resident in HBM
     after the first call.  The chunked streamer applies this per chunk so
@@ -97,7 +79,13 @@ def spmm_closure(matrix):
     without it the full (T_chunk, Y, X) field would be read back each
     chunk, which measured as half the streamed wire traffic (PERF.md).
     Staging is lazy and dtype-follows-input so the closure matches the
-    unstreamed ``spmm`` numerics exactly (f64 under x64, f32 on TPU)."""
+    unstreamed ``spmm`` numerics exactly (f64 under x64, f32 on TPU).
+
+    ``resident=False`` (the one-shot ``spmm`` path) keeps the unbanded
+    large-matrix fallback streaming: each dense row chunk is staged,
+    used, and released instead of caching every chunk in HBM at once —
+    a B x C matrix beyond the dense limit would otherwise occupy O(B*C)
+    device memory."""
     matrix = sp.csr_matrix(matrix)
     B, C = matrix.shape
 
@@ -126,15 +114,24 @@ def spmm_closure(matrix):
 
     def run_chunked(flat):
         flat = jnp.asarray(flat)
-        if "blocks" not in state or state["dt"] != flat.dtype:
-            state["dt"] = flat.dtype
-            state["blocks"] = [
-                jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
-                            dtype=flat.dtype)
-                for b0 in range(0, B, row_chunk)
-            ]
-        return jnp.concatenate(
-            [_dense_spmm(flat, blk) for blk in state["blocks"]], axis=1)
+        if resident:
+            if "blocks" not in state or state["dt"] != flat.dtype:
+                state["dt"] = flat.dtype
+                state["blocks"] = [
+                    jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
+                                dtype=flat.dtype)
+                    for b0 in range(0, B, row_chunk)
+                ]
+            blocks = state["blocks"]
+            return jnp.concatenate(
+                [_dense_spmm(flat, blk) for blk in blocks], axis=1)
+        # streaming: stage one row chunk at a time, peak ~2 chunks alive
+        outs = []
+        for b0 in range(0, B, row_chunk):
+            blk = jnp.asarray(matrix[b0:b0 + row_chunk].toarray(),
+                              dtype=flat.dtype)
+            outs.append(_dense_spmm(flat, blk))
+        return jnp.concatenate(outs, axis=1)
 
     return run_chunked
 

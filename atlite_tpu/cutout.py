@@ -319,6 +319,7 @@ class Cutout:
         features = set(np.atleast_1d(features)) if features is not None else None
         prepared = set(self.prepared_features.index.unique())
         wrote_any = False
+        written_this_call = set()  # module-priority guard under overwrite
 
         for module in modules:
             mod = datamodules[module]
@@ -328,7 +329,8 @@ class Cutout:
                     continue
                 missing_vars = [
                     v for v in mod.features[feature]
-                    if v not in self.data or overwrite
+                    if (v not in self.data or overwrite)
+                    and v not in written_this_call
                 ]
                 if not missing_vars:
                     continue
@@ -343,6 +345,7 @@ class Cutout:
                     # merges ds[missing_vars.values], data.py:249)
                     if var not in mod.features[feature] or var not in missing_vars:
                         continue
+                    written_this_call.add(var)
                     self.data[var] = np.asarray(arr)
                     self.var_attrs[var] = {
                         "dims": dims, "module": module, "feature": feature,

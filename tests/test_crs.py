@@ -122,12 +122,23 @@ def test_utm_epsg_codes():
 
 
 def test_normalize_proj4_strings():
+    # keys carry (lon0, k0, fe, fn, lat0, ellps, datum) — lat_0/ellps
+    # must not be silently dropped (test_crs_proj_goldens.py pins the math)
     key = normalize_crs("+proj=utm +zone=33 +datum=WGS84")
-    assert key == ("tmerc", 15.0, 0.9996, 500000.0, 0.0)
+    assert key == ("tmerc", 15.0, 0.9996, 500000.0, 0.0, 0.0, "wgs84", None)
+    # +datum=WGS84 and +ellps=WGS84 are the same CRS -> identical keys
+    # (the same-CRS fast paths in gis/raster.py compare these)
+    assert key == normalize_crs("+proj=utm +zone=33 +ellps=WGS84")
     key_s = normalize_crs("+proj=utm +zone=30 +south")
-    assert key_s == ("tmerc", -3.0, 0.9996, 500000.0, 10000000.0)
+    assert key_s == ("tmerc", -3.0, 0.9996, 500000.0, 10000000.0, 0.0,
+                     "grs80", None)
     key_t = normalize_crs("+proj=tmerc +lon_0=9 +k_0=1 +x_0=3500000")
-    assert key_t == ("tmerc", 9.0, 1.0, 3500000.0, 0.0)
+    assert key_t == ("tmerc", 9.0, 1.0, 3500000.0, 0.0, 0.0, "grs80", None)
+    # unknown ellipsoids/datums must refuse, not silently default
+    with pytest.raises(ValueError, match="ellps"):
+        normalize_crs("+proj=tmerc +lon_0=9 +ellps=sphere")
+    with pytest.raises(ValueError, match="datum"):
+        normalize_crs("+proj=tmerc +lon_0=9 +datum=nzgd49")
     assert normalize_crs("EPSG:4258") == 4258
     # 4258 is geographic lon/lat: identity with 4326 on GRS80/WGS84
     x, y = transform_points(np.array([5.0]), np.array([50.0]), 4326, 4258)

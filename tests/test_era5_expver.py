@@ -41,6 +41,13 @@ def test_grib_expver_roundtrip(tmp_path):
     p2 = tmp_path / "plain.grib"
     p2.write_bytes(grib.encode_grib1([_rec("t2m", "2024-05-01T00:00", 280.0)]))
     assert grib.read(p2)[0]["expver"] is None
+    # MARS expver is right-justified zero-padded: '1' must round-trip as
+    # '0001' (the value the final-ERA5 merge preference matches on), not
+    # '1000'
+    p3 = tmp_path / "short.grib"
+    p3.write_bytes(grib.encode_grib1([_rec("t2m", "2024-05-01T00:00", 280.0,
+                                           expver="1")]))
+    assert grib.read(p3)[0]["expver"] == "0001"
 
 
 @pytest.mark.parametrize("order", ["era5_first", "era5t_first"])

@@ -194,7 +194,10 @@ def test_grib2_template_48_interval_end_labelling(tmp_path):
     assert np.datetime64(r2["valid_time"], "m") == np.datetime64("2024-05-01T13:00")
 
 
-def test_grib2_unknown_product_template_raises(tmp_path):
+def test_grib2_other_product_template_decodes_common_prefix(tmp_path):
+    """Templates sharing the 4.0 octet prefix (4.1 ensemble etc.) must
+    still decode — one exotic message must not abort the whole file
+    (a CDS download can mix deterministic and ensemble products)."""
     rec = {
         "shortName": "t2m",
         "values": np.ones((2, 3)) * 280.0,
@@ -202,9 +205,19 @@ def test_grib2_unknown_product_template_raises(tmp_path):
         "valid_time": np.datetime64("2024-05-01T13:00"),
     }
     raw = bytearray(grib.encode_grib2([rec]))
-    # find section 4 (length 34, number 4) and stamp template 4.15
+    # find section 4 (length 34, number 4) and stamp template 4.1
     idx = raw.find(bytes([0, 0, 0, 34, 4]))
     assert idx > 0
-    raw[idx + 7:idx + 9] = (15).to_bytes(2, "big")
+    raw[idx + 7:idx + 9] = (1).to_bytes(2, "big")
+    out = grib.read(bytes(raw))
+    assert len(out) == 1
+    assert out[0]["shortName"] == "t2m"
+    np.testing.assert_allclose(out[0]["values"], rec["values"], atol=1e-3)
+    # templates that do NOT share the 4.0 octet layout must refuse
+    # loudly — "decoding the prefix" would fabricate step/valid_time and
+    # poison the shared time axis
+    raw2 = bytearray(grib.encode_grib2([rec]))
+    idx = raw2.find(bytes([0, 0, 0, 34, 4]))
+    raw2[idx + 7:idx + 9] = (20).to_bytes(2, "big")  # 4.20 radar product
     with pytest.raises(NotImplementedError, match="product template"):
-        grib.read(bytes(raw))
+        grib.read(bytes(raw2))

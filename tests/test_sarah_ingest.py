@@ -136,3 +136,31 @@ def test_sarah_pv_runs_on_archive_cutout():
     vals = np.asarray(pv.values)
     assert np.isfinite(vals).all()
     assert 0.0 < float(vals.mean()) < 0.5
+
+
+def test_stacked_module_priority_survives_overwrite():
+    # overwrite=True re-prepares everything, but within ONE prepare()
+    # call a later module must still not clobber variables an earlier
+    # (higher-priority) module just provided
+    c = Cutout(path=None, module=["sarah", "synthetic"], sarah_dir=str(DATA),
+               **CUTOUT_KW)
+    c.prepare(features=["influx", "temperature"])
+    c.prepare(features=["influx", "temperature"], overwrite=True)
+    sis, sid, *_ = numpy_oracle()
+    np.testing.assert_allclose(
+        np.asarray(c.data["influx_direct"]), sid, rtol=1e-6, atol=1e-6)
+
+
+def test_sarah_misaligned_sid_raises(monkeypatch):
+    real_open = sarah.open_archive
+
+    def shifted(paths, var, extent):
+        arr, lon, lat, times = real_open(paths, var, extent)
+        if var == "SID":
+            times = times + np.timedelta64(30, "m")
+        return arr, lon, lat, times
+
+    monkeypatch.setattr(sarah, "open_archive", shifted)
+    c = Cutout(path=None, module="sarah", sarah_dir=str(DATA), **CUTOUT_KW)
+    with pytest.raises(ValueError, match="misaligned time stamps"):
+        c.prepare()
