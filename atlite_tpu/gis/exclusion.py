@@ -67,7 +67,11 @@ class ExclusionContainer:
             if isinstance(r, np.ndarray):
                 raise TypeError("raw arrays need a transform; pass a Raster")
             if d["crs"] is not None:
-                r.crs = normalize_crs(d["crs"])
+                # per-layer override: relabel a COPY — the caller's Raster
+                # may be shared between layers (or still in caller hands)
+                import dataclasses
+
+                r = dataclasses.replace(r, crs=normalize_crs(d["crs"]))
             d["raster"] = r
         for d in self.geometries:
             geoms = d["geometry"]
@@ -165,10 +169,14 @@ def _bounds_overlap(raster, window_bounds, window_crs):
 
 
 def _as_geometry_list(geometry, src_crs, dst_crs):
-    if isinstance(geometry, (G.Geometry,)) or hasattr(geometry, "__geo_interface__"):
-        geometry = [geometry]
+    if (isinstance(geometry, (G.Geometry,))
+            or hasattr(geometry, "__geo_interface__")
+            or (isinstance(geometry, dict) and "type" in geometry)):
+        geometry = [geometry]  # single geometry (incl. GeoJSON dicts)
+    elif isinstance(geometry, dict):
+        geometry = list(geometry.values())  # name -> geometry mapping
     elif hasattr(geometry, "values") and not isinstance(geometry, (list, tuple)):
-        geometry = list(geometry.values)
+        geometry = list(geometry.values)  # pandas Series / GeoSeries
     geoms = [G.parse_geometry(g) for g in geometry]
     if normalize_crs(src_crs) != normalize_crs(dst_crs):
         geoms = [G.transform_geometry(g, src_crs, dst_crs) for g in geoms]
@@ -180,18 +188,17 @@ def _total_bounds(geoms):
     return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
 
 
-def shape_availability(geometry, excluder, geometry_crs=None):
-    """Eligible cells within geometry on the excluder's fine grid
-    (gis.py:263-325).  Returns (bool availability, Affine transform)."""
+def build_exclusion_mask(excluder, transform, shape):
+    """OR of every exclusion layer (rasters, then geometries) of
+    ``excluder`` rasterized on the ``shape`` lattice at ``transform`` in
+    the excluder's CRS.  The ONE implementation of the per-layer
+    codes/invert/buffer semantics — shared by the host path
+    (shape_availability) and the device path
+    (gis/kernels.availability_matrix_device), so the backends cannot
+    drift (reference semantics gis.py:296-323)."""
     if not excluder.all_open:
         excluder.open_files()
-    geometry_crs = excluder.crs if geometry_crs is None else geometry_crs
-    geoms = _as_geometry_list(geometry, geometry_crs, excluder.crs)
-
-    transform, shape = padded_transform_and_shape(_total_bounds(geoms), excluder.res)
-    masked = geometry_mask(geoms, shape, transform)  # True OUTSIDE the shape
-    exclusions = masked.copy()
-
+    exclusions = np.zeros(shape, dtype=bool)
     window_bounds = (
         transform.c, transform.f + transform.e * shape[0],
         transform.c + transform.a * shape[1], transform.f,
@@ -232,7 +239,20 @@ def shape_availability(geometry, excluder, geometry_crs=None):
             iterations = int(d["buffer"] / excluder.res) + 1
             inside = binary_dilation(inside, iterations=iterations)
         exclusions |= (~inside) if d["invert"] else inside
+    return exclusions
 
+
+def shape_availability(geometry, excluder, geometry_crs=None):
+    """Eligible cells within geometry on the excluder's fine grid
+    (gis.py:263-325).  Returns (bool availability, Affine transform)."""
+    if not excluder.all_open:
+        excluder.open_files()
+    geometry_crs = excluder.crs if geometry_crs is None else geometry_crs
+    geoms = _as_geometry_list(geometry, geometry_crs, excluder.crs)
+
+    transform, shape = padded_transform_and_shape(_total_bounds(geoms), excluder.res)
+    masked = geometry_mask(geoms, shape, transform)  # True OUTSIDE the shape
+    exclusions = masked | build_exclusion_mask(excluder, transform, shape)
     return ~exclusions, transform
 
 

@@ -239,16 +239,28 @@ def point_in_ring(ring: np.ndarray, x, y) -> bool:
 
 
 def points_in_polygon(geom, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd point-in-polygon over flat coordinate arrays."""
+    """Vectorized even-odd point-in-polygon over flat coordinate arrays.
+
+    The (edges x points) broadcast is evaluated in bounded point batches:
+    country-scale fine grids (10^7+ pixels) against 1000-edge rings would
+    otherwise materialize 10^10-element intermediates (the C++ engine
+    streams in O(1); this numpy fallback must stay usable without it)."""
     xs = np.asarray(xs, dtype=float).ravel()
     ys = np.asarray(ys, dtype=float).ravel()
     inside = np.zeros(xs.shape, dtype=bool)
     polys = geom.polygons if isinstance(geom, MultiPolygon) else [geom]
-    for p in polys:
-        acc = _ring_crossings(p.shell, xs, ys)
-        for h in p.holes:
-            acc ^= _ring_crossings(h, xs, ys)
-        inside |= acc
+    n_edges = max(
+        (sum(len(r) for r in [p.shell] + list(p.holes)) for p in polys),
+        default=1)
+    batch = max(1, int(2e7 / max(n_edges, 1)))  # ~20M-element intermediates
+    for i in range(0, len(xs), batch):
+        sl = slice(i, i + batch)
+        xb, yb = xs[sl], ys[sl]
+        for p in polys:
+            acc = _ring_crossings(p.shell, xb, yb)
+            for h in p.holes:
+                acc ^= _ring_crossings(h, xb, yb)
+            inside[sl] |= acc
     return inside
 
 

@@ -232,6 +232,14 @@ def read_geotiff(path) -> "Raster":
         keys = {gk[4 + 4 * k]: gk[7 + 4 * k] for k in range((len(gk) - 4) // 4)}
         # 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicTypeGeoKey
         crs = keys.get(3072) or keys.get(2048) or 4326
+        if crs == 32767:
+            # GeoTIFF "user-defined": parameters live in other geokeys we
+            # don't reconstruct — fail at read time with a clear message
+            # instead of a baffling 'transform 32767 -> ...' later
+            raise ValueError(
+                "GeoTIFF declares a user-defined CRS (GeoKey 32767); "
+                "re-export with an EPSG code or build the Raster with an "
+                "explicit crs= key")
 
     nodata = None
     if "GDALNoData" in tags:
@@ -280,13 +288,19 @@ def write_geotiff(raster, path, compression="deflate"):
 
     t = raster.transform
     crs = normalize_crs(raster.crs)
-    epsg = crs if isinstance(crs, int) else 4326
+    if not isinstance(crs, int):
+        # GeoTIFF geokeys can only carry EPSG codes; stamping 4326 on a
+        # 'cea'/proj4-tuple raster would silently mislabel meters as
+        # degrees
+        raise ValueError(
+            f"write_geotiff can only encode EPSG-coded CRSs, got {crs!r}; "
+            "save as .npz (Raster.save) to keep a parameterized CRS")
     # GeoKeyDirectory: version, rev, minor, nkeys, then (key, loc, cnt, val)
-    is_geographic = epsg == 4326 or 4000 <= epsg < 5000
+    is_geographic = crs == 4326 or 4000 <= crs < 5000
     geokeys = [1, 1, 0, 3,
                1024, 0, 1, 2 if is_geographic else 1,   # GTModelType
                1025, 0, 1, 1,                            # RasterPixelIsArea
-               (2048 if is_geographic else 3072), 0, 1, epsg]
+               (2048 if is_geographic else 3072), 0, 1, crs]
 
     entries = []  # (tag, type, count, values)
     entries.append((256, 3, 1, [width]))
@@ -319,12 +333,10 @@ def write_geotiff(raster, path, compression="deflate"):
         fmt_c = {3: "H", 4: "I", 12: "d"}[typ]
         return struct.pack("<" + fmt_c * len(values), *values)
 
-    strip_offset_pos = None
     ifd = struct.pack("<H", len(entries))
     for tag, typ, count, values in entries:
-        if values is None:  # StripOffsets placeholder
+        if values is None:  # StripOffsets placeholder (patched below)
             ifd += struct.pack("<HHI", tag, typ, count)
-            strip_offset_pos = len(ifd) + 8  # patched later
             ifd += struct.pack("<I", 0)
             continue
         enc = encode_values(typ, values)

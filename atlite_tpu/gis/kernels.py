@@ -198,8 +198,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     from atlite_tpu.gis.crs import normalize_crs as _ncrs, transform_points
     from atlite_tpu.gis.exclusion import _as_geometry_list
     from atlite_tpu.gis.raster import (
-        binary_dilation, overlap_matrix, padded_transform_and_shape,
-        reproject_nearest,
+        overlap_matrix, padded_transform_and_shape,
     )
 
     if not excluder.all_open:
@@ -245,30 +244,12 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     if cached is not None and cached[0] == cache_key:
         excl_dev = cached[1]
     else:
-        exclusions = np.zeros((ny, nx), dtype=bool)
-        for d in excluder.rasters:
-            r = d["raster"]
-            masked_r = reproject_nearest(r, transform, crs, (ny, nx),
-                                         nodata=d["nodata"])
-            if d["codes"] is not None:
-                sel = (np.asarray(d["codes"](masked_r)).astype(bool)
-                       if callable(d["codes"]) else np.isin(masked_r, d["codes"]))
-            else:
-                sel = masked_r.astype(bool)
-            if d["invert"]:
-                sel = ~sel
-            if d["buffer"]:
-                sel = binary_dilation(sel, iterations=int(d["buffer"] / res) + 1)
-            exclusions |= sel
-        for d in excluder.geometries:
-            from atlite_tpu.gis.raster import geometry_mask
+        # the per-layer codes/invert/buffer semantics live in ONE shared
+        # implementation (incl. the allow_no_overlap check) so host and
+        # device backends cannot drift
+        from atlite_tpu.gis.exclusion import build_exclusion_mask
 
-            inside = geometry_mask(d["geometry"], (ny, nx), transform,
-                                   invert=True)
-            if d["buffer"]:
-                inside = binary_dilation(inside,
-                                         iterations=int(d["buffer"] / res) + 1)
-            exclusions |= (~inside) if d["invert"] else inside
+        exclusions = build_exclusion_mask(excluder, transform, (ny, nx))
         excl_dev = jnp.asarray(exclusions)
         excluder._fine_mask_cache = (cache_key, excl_dev)
 

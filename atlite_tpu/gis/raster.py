@@ -64,9 +64,26 @@ class Raster:
     def open(cls, path):
         path = Path(path)
         if path.suffix == ".npz":
+            import ast
+
             z = np.load(path, allow_pickle=True)
-            crs = z["crs"].item() if "crs" in z else 4326
-            nodata = float(z["nodata"]) if "nodata" in z else 255
+            crs = 4326
+            if "crs" in z:
+                crs = z["crs"].ravel()[0]
+                if isinstance(crs, (str, np.str_)):
+                    # tuple projection keys / 'cea' are stored as repr
+                    try:
+                        crs = ast.literal_eval(str(crs))
+                    except (ValueError, SyntaxError):
+                        crs = str(crs)
+                    if isinstance(crs, list):
+                        crs = tuple(crs)
+                else:
+                    crs = crs.item() if hasattr(crs, "item") else crs
+            nodata = None
+            if "nodata" in z:
+                raw = z["nodata"].ravel()[0]
+                nodata = None if raw is None else float(raw)
             return cls(z["data"], Affine(*np.asarray(z["transform"]).ravel()[:6]),
                        crs, nodata)
         if path.suffix.lower() in (".tif", ".tiff", ".gtiff"):
@@ -79,9 +96,16 @@ class Raster:
         )
 
     def save(self, path):
+        # crs: ints stay ints; tuple keys / 'cea' strings go through repr
+        # (parsed back with ast.literal_eval on open).  nodata=None is a
+        # normal state and must survive the round-trip.
+        crs = normalize_crs(self.crs)
+        crs_arr = (np.asarray(crs) if isinstance(crs, int)
+                   else np.asarray(repr(crs)))
         np.savez_compressed(
             path, data=self.data, transform=np.asarray(self.transform),
-            crs=np.asarray(normalize_crs(self.crs)), nodata=self.nodata,
+            crs=crs_arr,
+            nodata=np.asarray(self.nodata, dtype=object),
         )
 
 
@@ -127,8 +151,10 @@ def geometry_mask(geometries, shape, transform, invert=False):
     x = (transform.a * cc + transform.b * rr + transform.c).ravel()
     y = (transform.d * cc + transform.e * rr + transform.f).ravel()
     inside = np.zeros(rows * cols, dtype=bool)
-    if isinstance(geometries, (G.Geometry,)) or hasattr(geometries, "__geo_interface__"):
-        geometries = [geometries]
+    if (isinstance(geometries, (G.Geometry,))
+            or hasattr(geometries, "__geo_interface__")
+            or (isinstance(geometries, dict) and "type" in geometries)):
+        geometries = [geometries]  # single geometry (incl. GeoJSON dicts)
     from atlite_tpu import native
 
     use_native = native.get_lib() is not None

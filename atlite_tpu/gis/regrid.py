@@ -10,9 +10,13 @@ rasterio.warp.reproject under apply_ufunc) without GDAL:
   edge clamping (the reference pads with mode='edge', gis.py:829-836),
 - 'nearest'  : gather of the enclosing source pixel.
 
-The bilinear/nearest paths run as jnp gathers so they fuse into device
-pipelines; 'average' shares the scatter-mean primitive with the
-availability downsampler.
+All paths here are HOST-side numpy (regridding is a data-preparation
+step, run once per ingest): bilinear/nearest use numpy gathers, and
+'average' shares the overlap-matrix primitive with the availability
+downsampler.  Do NOT move the gather formulations inside a jit device
+pipeline — dynamic gathers are 100-500x slower than mask-and-sum on
+this TPU (see CLAUDE.md); the device-side sharded regrid lives in
+core/mesh.py (halo-exchange bilinear) instead.
 """
 
 from __future__ import annotations

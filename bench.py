@@ -392,7 +392,13 @@ def main():
             return out
         return run
 
-    n1, n2 = 1, 5
+    # scale repeats so the differenced run holds >=50 ms of device
+    # compute — at BENCH_SIZE=small the 1M-cell-hour pass takes ~0.3 ms
+    # and a 4-pass difference drowns in relay RTT noise (observed
+    # negative estimates)
+    cell_hours_est = T * Y * X
+    n1 = 1
+    n2 = n1 + max(4, int(np.ceil(0.05 * 3e9 / max(cell_hours_est, 1))))
     run1, run2 = chained(n1), chained(n2)
 
     def timed_once(run):

@@ -82,3 +82,61 @@ def test_lzw_roundtrip_known():
 
     data = pack_codes([256, 65, 66, 257])
     assert _lzw_decode(data) == b"AB"
+
+
+def test_npz_roundtrip_none_nodata_and_tuple_crs(tmp_path):
+    from atlite_tpu.gis.crs import normalize_crs
+
+    # nodata=None is a normal state (shape_availability_reprojected
+    # builds such Rasters) and must survive save/open
+    r = Raster(np.ones((4, 5), np.float32), Affine(0.1, 0, 0, 0, -0.1, 1),
+               4326, nodata=None)
+    r.save(tmp_path / "a.npz")
+    r2 = Raster.open(tmp_path / "a.npz")
+    assert r2.nodata is None and r2.crs == 4326
+
+    # parameterized projection keys round-trip exactly
+    key = normalize_crs("+proj=utm +zone=33 +ellps=GRS80")
+    r = Raster(np.ones((4, 5), np.uint8), Affine(100, 0, 0, 0, -100, 1e6),
+               key, nodata=255)
+    r.save(tmp_path / "b.npz")
+    r2 = Raster.open(tmp_path / "b.npz")
+    assert r2.crs == key and r2.nodata == 255.0
+
+    # ints stay ints (registry/table lookups key on int EPSG codes)
+    r = Raster(np.ones((2, 2), np.uint8), Affine(100, 0, 0, 0, -100, 0),
+               3035, nodata=7)
+    r.save(tmp_path / "c.npz")
+    assert Raster.open(tmp_path / "c.npz").crs == 3035
+
+
+def test_write_geotiff_refuses_non_epsg_crs(tmp_path):
+    r = Raster(np.ones((3, 3), np.float32), Affine(100, 0, 0, 0, -100, 0),
+               "cea", nodata=None)
+    with pytest.raises(ValueError, match="EPSG"):
+        write_geotiff(r, tmp_path / "x.tif")
+
+
+def test_read_geotiff_user_defined_crs_raises(tmp_path):
+    import struct
+
+    r = Raster(np.ones((3, 3), np.uint8), Affine(0.1, 0, 0, 0, -0.1, 1),
+               3035, nodata=255)
+    write_geotiff(r, tmp_path / "x.tif")
+    blob = (tmp_path / "x.tif").read_bytes()
+    # patch the ProjectedCSTypeGeoKey value 3035 -> 32767 (user-defined)
+    patched = blob.replace(struct.pack("<H", 3035), struct.pack("<H", 32767))
+    (tmp_path / "y.tif").write_bytes(patched)
+    with pytest.raises(ValueError, match="user-defined"):
+        read_geotiff(tmp_path / "y.tif")
+
+
+def test_geometry_mask_accepts_geojson_dict():
+    from atlite_tpu.gis.raster import geometry_mask
+
+    gj = {"type": "Polygon",
+          "coordinates": [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+                           (0.0, 0.0)]]}
+    m = geometry_mask(gj, (10, 10), Affine(0.1, 0, 0, 0, -0.1, 1),
+                      invert=True)
+    assert m.all()  # the unit square covers the whole lattice

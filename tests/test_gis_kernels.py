@@ -260,3 +260,39 @@ def test_availability_lcc_excluder_reproduces_laea_result(cutout):
     # projected lattices quantize the ellipse edge differently)
     np.testing.assert_allclose(b, a, atol=6e-2)
     np.testing.assert_allclose(b.sum(), a.sum(), rtol=3e-3)
+
+
+def test_device_availability_no_overlap_matches_host_error():
+    """The device path shares the host's per-layer mask builder — a
+    non-overlapping exclusion raster must raise the same ValueError, not
+    silently rasterize nodata as 100% excluded."""
+    import pytest
+
+    from atlite_tpu import Cutout, ExclusionContainer
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.geometry import box
+    from atlite_tpu.gis.kernels import availability_matrix_device
+    from atlite_tpu.gis.raster import Raster
+
+    cutout = Cutout(path=None, module="synthetic", bounds=(-4, 56, 1.5, 62),
+                    time="2013-01-01")
+    far = Raster(np.ones((10, 10), np.uint8),
+                 Affine(0.01, 0, 100.0, 0, -0.01, -60.0), 4326, 255)
+    exc = ExclusionContainer(4326, res=0.1)
+    exc.add_raster(far)
+    with pytest.raises(ValueError, match="do not overlap"):
+        availability_matrix_device(cutout, [box(-4, 56, 1.5, 62)], exc)
+
+
+def test_excluder_crs_override_does_not_mutate_caller_raster():
+    from atlite_tpu import ExclusionContainer
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.raster import Raster
+
+    r = Raster(np.ones((5, 5), np.uint8), Affine(100, 0, 4.3e6, 0, -100, 3.6e6),
+               4326, 255)
+    exc = ExclusionContainer(3035, res=100)
+    exc.add_raster(r, crs=3035)
+    exc.open_files()
+    assert r.crs == 4326  # caller's object untouched
+    assert exc.rasters[0]["raster"].crs == 3035
