@@ -311,6 +311,20 @@ class Cutout:
         del data_format, compression, dask_kwargs, show_progress
         params.setdefault("monthly_requests", monthly_requests)
         params.setdefault("concurrent_requests", concurrent_requests)
+        if tmpdir is None:
+            # create-and-clean a tmpdir when the caller passes none
+            # (reference decorates cutout_prepare with
+            # @maybe_remove_tmpdir, data.py:114-129) — otherwise every
+            # CDS retrieval chunk leaks a .grib into the system tmp
+            from shutil import rmtree
+            from tempfile import mkdtemp
+
+            tmpdir = mkdtemp(prefix="atlite_tpu_prepare")
+            try:
+                return self.prepare(features=features, tmpdir=tmpdir,
+                                    overwrite=overwrite, **params)
+            finally:
+                rmtree(tmpdir, ignore_errors=True)
         if self.prepared and not overwrite:
             logger.info("Cutout already prepared.")
             return self
@@ -405,8 +419,11 @@ class Cutout:
             variables[name] = (dnames, np.asarray(arr), va)
         attrs = {}
         for k, v in self.attrs.items():
-            if k == "prepared_features":
-                # netCDF-3 attributes cannot hold string lists
+            if k in ("prepared_features", "module"):
+                # netCDF-3 attributes cannot hold string lists; a merged
+                # multi-module cutout has module=['sarah', 'era5'] and
+                # must survive the .nc round-trip (reload keys
+                # datamodules on it)
                 v = ", ".join(np.atleast_1d(v))
             if isinstance(v, (str, int, float, np.integer, np.floating, bool)):
                 attrs[k] = v
@@ -532,7 +549,8 @@ class Cutout:
             if only is not None and name not in only:
                 continue
             dims = tuple(self.var_attrs.get(name, {}).get("dims", ("time", "y", "x")))
-            data[name] = np.asarray(arr)[t0:t1] if dims[0] == "time" else arr
+            data[name] = (np.asarray(arr)[t0:t1]
+                          if dims and dims[0] == "time" else arr)
         sub = Cutout(None, data=data, grid_desc=new_grid, attrs=dict(self.attrs),
                      var_attrs=dict(self.var_attrs), dtype=self.dtype)
         sub._stage_batched = True
@@ -556,7 +574,16 @@ class Cutout:
     def merge(self, other, path=None, **kwargs):
         """Merge the variables of two aligned cutouts (cutout.py:415-451)."""
         assert isinstance(other, Cutout)
-        assert self.grid_desc.shape == other.grid_desc.shape
+        g, og = self.grid_desc, other.grid_desc
+        # same SHAPE is not enough — two 40x40 cutouts over different
+        # regions would merge into silently mis-georeferenced data (the
+        # reference's xarray merge aligns on coordinates)
+        if (len(g.x) != len(og.x) or len(g.y) != len(og.y)
+                or not np.allclose(g.x, og.x) or not np.allclose(g.y, og.y)
+                or len(g.time) != len(og.time) or (g.time != og.time).any()):
+            raise ValueError(
+                "cannot merge cutouts with different coordinates; "
+                "use sel() to align them first")
         data = {**other.data, **self.data}
         var_attrs = {**other.var_attrs, **self.var_attrs}
         attrs = {**other.attrs, **self.attrs}
@@ -649,6 +676,11 @@ def _read_netcdf_cutout(path):
         pf = [s for s in (t.strip() for t in pf.split(",")) if s]
     attrs["prepared_features"] = list(np.atleast_1d(pf))
     module = attrs.get("module")
+    if isinstance(module, str) and "," in module:
+        # multi-module cutouts serialize module=['sarah', 'era5'] as a
+        # comma-joined string (netCDF-3 attrs hold no string lists)
+        module = [s for s in (t.strip() for t in module.split(",")) if s]
+        attrs["module"] = module
     feature_of = {}
     if module is not None:
         for m in np.atleast_1d(module):

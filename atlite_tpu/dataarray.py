@@ -101,18 +101,32 @@ class DataArray:
 
     # -- selection -----------------------------------------------------------
     def isel(self, **indexers):
-        key = [slice(None)] * self.ndim
-        for d, i in indexers.items():
-            key[self.get_axis_num(d)] = i
-        values = self.values[tuple(key)]
-        dims, coords = [], {}
-        for d, i in zip(self.dims, key):
-            if isinstance(i, (int, np.integer)):
-                continue
-            dims.append(d)
-            if d in self.coords:
-                coords[d] = self.coords[d][i]
-        coords.update({d: v for d, v in self.coords.items() if d not in indexers})
+        # apply indexers ONE AXIS AT A TIME (xarray outer-selection
+        # semantics) — a joint numpy advanced-indexing expression would
+        # broadcast multiple array indexers together (diagonal/shape
+        # errors) and move fancy-indexed axes to the front
+        values = np.asarray(self.values)
+        dims = list(self.dims)
+        coords = dict(self.coords)
+        items = sorted(indexers.items(),
+                       key=lambda kv: self.get_axis_num(kv[0]), reverse=True)
+        for d, i in items:
+            ax = dims.index(d)
+            if isinstance(i, slice):
+                values = values[(slice(None),) * ax + (i,)]
+                if d in coords:
+                    coords[d] = coords[d][i]
+            elif isinstance(i, (int, np.integer)):
+                values = np.take(values, int(i), axis=ax)
+                dims.pop(ax)
+                coords.pop(d, None)
+            else:
+                i = np.asarray(i)
+                if i.dtype == bool:
+                    i = np.flatnonzero(i)
+                values = np.take(values, i, axis=ax)
+                if d in coords:
+                    coords[d] = coords[d][i]
         return DataArray(values, coords=coords, dims=dims, attrs=self.attrs, name=self.name)
 
     def sel(self, method=None, **indexers):
@@ -220,6 +234,17 @@ class DataArray:
     # -- arithmetic with dim-name broadcasting --------------------------------
     def _binop(self, other, fn, reflexive=False):
         if isinstance(other, DataArray):
+            # refuse silently mis-labeled results: shared dims must carry
+            # identical coordinates (xarray would label-align; combining
+            # positionally across reordered coords yields wrong numbers)
+            for d in self.dims:
+                if (d in other.dims and d in self.coords
+                        and d in other.coords
+                        and not np.array_equal(np.asarray(self.coords[d]),
+                                               np.asarray(other.coords[d]))):
+                    raise ValueError(
+                        f"coordinate {d!r} differs between operands; "
+                        f"align with sel()/isel() first")
             dims = list(self.dims) + [d for d in other.dims if d not in self.dims]
             a = _expand(np.asarray(self.values), self.dims, dims)
             b = _expand(np.asarray(other.values), other.dims, dims)

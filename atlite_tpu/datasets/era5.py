@@ -227,6 +227,18 @@ def _open_raw(path):
     flip = len(y) > 1 and y[0] > y[-1]
     out = {}
     for name, (dnames, arr) in fields.items():
+        # collapse any remaining non-(time,y,x) dims (e.g. an ensemble
+        # 'number' axis): squeeze singletons, refuse real extra axes —
+        # leaving them in would flip/index the WRONG axis below
+        extra = [d for d in dnames if d not in ("time", "y", "x")]
+        for d in extra:
+            ax = dnames.index(d)
+            if arr.shape[ax] != 1:
+                raise ValueError(
+                    f"{path}: variable {name!r} carries unsupported "
+                    f"dimension {d!r} (size {arr.shape[ax]})")
+            arr = np.squeeze(arr, axis=ax)
+            dnames = tuple(dd for dd in dnames if dd != d)
         if dnames[-2:] != ("y", "x"):
             order = [dnames.index(d) for d in ("time", "y", "x") if d in dnames]
             arr = np.transpose(arr, order)
@@ -282,7 +294,6 @@ def _concat_time(parts):
     order = np.argsort(times, kind="stable")
     uniq, first_idx = np.unique(times[order], return_index=True)
     sel = order[first_idx]
-    bounds = np.cumsum([0] + [len(c["time"]) for _, c in parts])
     for name in parts[0][0]:
         stacked = np.concatenate([p[name] for p, _ in parts], axis=0)
         fields[name] = stacked[sel]

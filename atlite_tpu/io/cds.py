@@ -100,12 +100,16 @@ class Client:
         job_id = job.get("jobID") or job.get("id")
         status = job.get("status", "accepted")
         logger.info("CDS job %s submitted (%s)", job_id, dataset)
-        while status not in ("successful", "failed"):
+        # poll only while the job is in a known LIVE state — the
+        # processes API can also end as 'dismissed'/'rejected', which
+        # previously spun this loop forever
+        while status in ("accepted", "queued", "running"):
             time.sleep(self.sleep)
             job = self._get(f"/retrieve/v1/jobs/{job_id}")
             status = job.get("status")
-        if status == "failed":
-            raise RuntimeError(f"CDS job {job_id} failed: {job}")
+        if status != "successful":
+            raise RuntimeError(
+                f"CDS job {job_id} ended as {status!r}: {job}")
         results = self._get(f"/retrieve/v1/jobs/{job_id}/results")
         asset = results.get("asset", {}).get("value", {})
         href = asset.get("href")

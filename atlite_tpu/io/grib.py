@@ -176,6 +176,13 @@ def _decode_grib1_message(buf, off):
     lat2 = _sm24(gds[17:20]) / 1000.0
     lon2 = _sm24(gds[20:23]) / 1000.0
     scan = gds[27]
+    # i/j scan DIRECTIONS are encoded by the lat1/lat2, lon1/lon2
+    # endpoints (linspace handles either ordering); but bit 0x20
+    # (adjacent points in j consecutive = column-major data) breaks the
+    # reshape(nj, ni) row-major assumption — refuse rather than silently
+    # transpose the field
+    if scan & 0x20:
+        raise NotImplementedError("GRIB1 j-consecutive scanning mode")
     pos += gds_len
 
     # --- BMS
@@ -353,6 +360,12 @@ GRIB2_PARAMS = {
     (2, 0, 1, 1, 0): "fsr", (2, 3, 18, 106, 0): "stl4",
 }
 GRIB2_PARAMS_INV = {v: k for k, v in GRIB2_PARAMS.items()}
+# level-agnostic fallback for non-height level types: real eccodes files
+# encode surface/soil levels with varying scale/value conventions (incl.
+# the all-ones "missing" encoding), while height-above-ground (103)
+# levels are meaningful (u10 vs u100)
+GRIB2_PARAMS_NOLEVEL = {k[:4]: v for k, v in GRIB2_PARAMS.items()
+                        if k[3] != 103}
 
 
 def _decode_grib2_message(buf, off):
@@ -365,7 +378,7 @@ def _decode_grib2_message(buf, off):
     end = off + total
 
     meta = {"discipline": discipline}
-    grids = []
+    records = []
     while pos < end - 4:
         if buf[pos:pos + 4] == b"7777":
             break
@@ -395,6 +408,9 @@ def _decode_grib2_message(buf, off):
             lat2 = s32(41) / 1e6
             lon2 = s32(45) / 1e6
             scan = buf[g + 57]
+            if scan & 0x20:  # column-major data order (see GRIB1 note)
+                raise NotImplementedError(
+                    "GRIB2 j-consecutive scanning mode")
             meta.update(ni=ni, nj=nj,
                         lats=np.linspace(lat1, lat2, nj),
                         lons=np.linspace(lon1, lon2, ni))
@@ -412,9 +428,14 @@ def _decode_grib2_message(buf, off):
             lev_val = int.from_bytes(buf[p + 15:p + 19], "big")
             step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0,
                       12: 12.0}.get(unit, 1.0)  # matches the GRIB1 map
+            if lev_scale == 255 or lev_val == 0xFFFFFFFF:
+                level = 0.0  # "missing" encoding (eccodes surface fields)
+            elif lev_scale < 120:
+                level = lev_val / 10 ** lev_scale
+            else:
+                level = lev_val
             meta.update(category=cat, number=num,
-                        level_type=lev_type,
-                        level=lev_val / 10 ** lev_scale if lev_scale < 120 else lev_val,
+                        level_type=lev_type, level=level,
                         step=fcst * step_h, pd_template=tmpl)
             meta.pop("interval_end", None)
             # templates that extend 4.0 with octets APPENDED after the
@@ -473,25 +494,36 @@ def _decode_grib2_message(buf, off):
                 nbits_total = meta["ni"] * meta["nj"]
                 meta["bitmap"] = _unpack_bits(
                     buf[body + 1:pos + sec_len], 1, nbits_total).astype(bool)
-            elif ind != 255:
+            elif ind == 255:
+                # "no bitmap applies" must CLEAR any bitmap from a
+                # previous (sec4..sec7) set in this message; 254 means
+                # the previously-defined one applies (keep it)
+                meta.pop("bitmap", None)
+            elif ind != 254:
                 raise NotImplementedError("predefined GRIB2 bitmaps")
         elif sec_num == 7:
-            grids.append(_decode_grib2_data(buf[body:pos + sec_len], meta))
+            # build the record NOW: a message may legally carry several
+            # (sec4,sec5,sec6,sec7) sets, each with its own product
+            # metadata — labelling all grids with the final meta would
+            # silently mislabel every field but the last
+            vals = _decode_grib2_data(buf[body:pos + sec_len], meta)
+            key = (discipline, meta["category"], meta["number"],
+                   meta["level_type"], int(meta["level"]))
+            short = GRIB2_PARAMS.get(
+                key, GRIB2_PARAMS_NOLEVEL.get(key[:4], f"p{key}"))
+            records.append({
+                "shortName": short,
+                "values": vals.reshape(meta["nj"], meta["ni"]),
+                "lats": meta["lats"], "lons": meta["lons"],
+                "valid_time": meta.get(
+                    "interval_end",
+                    meta["ref_time"]
+                    + np.timedelta64(int(meta.get("step", 0) * 60), "m")),
+                "level_type": meta["level_type"], "level": meta["level"],
+                "edition": 2, "param": key,
+            })
         pos += sec_len
 
-    records = []
-    for vals in grids:
-        key = (discipline, meta["category"], meta["number"],
-               meta["level_type"], int(meta["level"]))
-        short = GRIB2_PARAMS.get(key, f"p{key}")
-        records.append({
-            "shortName": short, "values": vals.reshape(meta["nj"], meta["ni"]),
-            "lats": meta["lats"], "lons": meta["lons"],
-            "valid_time": meta.get("interval_end", meta["ref_time"]
-                                   + np.timedelta64(int(meta.get("step", 0) * 60), "m")),
-            "level_type": meta["level_type"], "level": meta["level"],
-            "edition": 2, "param": key,
-        })
     return records, off + total
 
 

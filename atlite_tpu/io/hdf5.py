@@ -466,6 +466,10 @@ def _read_dataset(f, addr):
 
 
 def _decode_chunk(raw, filters, dtype, fmask=0):
+    # fmask bit i set = filter i was SKIPPED for this chunk (written when
+    # a filter declines/fails on one chunk); applying it anyway would
+    # zlib-error or silently scramble the block
+    filters = [fc for i, fc in enumerate(filters) if not (fmask >> i) & 1]
     for fid, cvals in reversed(filters):
         if fid == _FILTER_DEFLATE:
             raw = zlib.decompress(raw)
@@ -666,11 +670,9 @@ def read_netcdf4(path):
     for name, (arr, attrs, shape) in raw.items():
         cls = attrs.get("CLASS")
         if cls == "DIMENSION_SCALE":
-            length = shape[0] if shape else 0
-            nm = attrs.get("NAME", name)
             # "This is a netCDF dimension but not a netCDF variable" scales
             # are pure dimensions; real coordinate variables keep data
-            dim_scales[name] = length
+            dim_scales[name] = shape[0] if shape else 0
     dims = dict(dim_scales)
 
     for name, (arr, attrs, shape) in raw.items():

@@ -240,8 +240,8 @@ def write(path, dims, variables, attrs=None, record_dim=None, version=2):
     # order: fixed variables first, then record variables (required so the
     # record section is a contiguous tail)
     names = sorted(variables,
-                   key=lambda n: (variables[n][0] and
-                                  variables[n][0][0] == record_dim, ))
+                   key=lambda n: bool(variables[n][0] and
+                                      variables[n][0][0] == record_dim))
     entries = []
     for nm in names:
         dnames, arr, vattrs = variables[nm]
@@ -266,8 +266,7 @@ def write(path, dims, variables, attrs=None, record_dim=None, version=2):
         part = (_w_name(nm) + struct.pack(">I", len(dnames))
                 + b"".join(struct.pack(">I", dim_index[d]) for d in dnames)
                 + _w_attrs(vattrs)
-                + struct.pack(">II", t,
-                              min(vsize if not is_rec else vsize, 2**32 - 1)))
+                + struct.pack(">II", t, min(vsize, 2**32 - 1)))
         hdr_parts.append(part)
 
     base = sum(len(b) for b in header) + len(var_hdr[0]) \

@@ -264,7 +264,10 @@ def get_oedb_windturbineconfig(search=None, **search_params):
         logger.warning("No hub_height defined in dataset; assuming 100 m.")
     elif isinstance(hub_height, str):
         hh = [float(t) for t in re.split(r"\s*;\s*", hub_height.strip()) if t]
-        hub_height = float(np.mean(hh)) if len(hh) > 1 else hh[0]
+        # reference takes the INT mean of multi-value heights
+        # (resource.py:485, np.mean(..., dtype=int)) — match it so wind
+        # CFs agree for OEDB turbines like '98;103' -> 100 m
+        hub_height = float(np.mean(hh, dtype=int)) if len(hh) > 1 else hh[0]
     conf = {
         "name": ds.turbine_type.strip(),
         "manufacturer": ds.manufacturer.strip(),

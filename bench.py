@@ -23,39 +23,18 @@ import numpy as np
 
 
 def build_inputs(T, Y, X, B, seed=3):
-    import pandas as pd
-
-    from atlite_tpu.core.grid import Grid
-    from atlite_tpu.core.timeutil import solar_ephemeris
-    from atlite_tpu.datasets import synthetic
-
-    x = np.linspace(-12.0, 18.0, X)
-    y = np.linspace(35.0, 60.0, Y)
-    times = pd.date_range("2013-01-01", periods=T, freq="h").values
-    grid = Grid(x=x, y=y, time=times)
-
-    class _Stub:
-        grid_desc = grid
-        attrs = {"seed": seed}
-
-    fields = {}
-    for feature in ("wind", "influx", "temperature", "height"):
-        for var, (dims, arr) in synthetic.get_data(_Stub(), feature).items():
-            fields[var] = np.asarray(arr, dtype=np.float32)
-    eph = {k: np.asarray(v, dtype=np.float32)
-           for k, v in solar_ephemeris(times).items()}
-
-    rng = np.random.default_rng(0)
-    matrix = (rng.random((B, Y * X), dtype=np.float32)
-              * (rng.random((B, Y * X)) < 0.05)).astype(np.float32)
-
-    V = np.arange(0.0, 26.0, 0.5, dtype=np.float32)
-    POWn = np.clip((V**3 - 27.0) / (12.0**3 - 27.0), 0, 1).astype(np.float32)
-    POWn[V >= 25.0] = 0.0
+    """Bench-shape inputs via the ONE synthetic recipe
+    (__graft_entry__._example_inputs) — Europe-at-0.25deg extent, winter
+    start, sparser bus matrix, plus the exact power-curve simplification
+    the production wind path applies."""
+    import __graft_entry__ as ge
     from atlite_tpu.physics.wind import simplify_power_curve
 
+    fields, eph, x, y, V, POWn, matrix = ge._example_inputs(
+        T=T, Y=Y, X=X, B=B, seed=seed, extent=(-12.0, 18.0, 35.0, 60.0),
+        start="2013-01-01", density=0.05)
     V, POWn = (a.astype(np.float32) for a in simplify_power_curve(V, POWn))
-    return fields, eph, x.astype(np.float32), y.astype(np.float32), V, POWn, matrix
+    return fields, eph, x, y, V, POWn, matrix
 
 
 def numpy_baseline_seconds(fields, lat, V, POWn, matrix, t_sub=48):

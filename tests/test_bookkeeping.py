@@ -2,6 +2,7 @@
 test_preparation_and_conversion.py:60-115)."""
 
 import numpy as np
+import pytest
 import pandas as pd
 
 from atlite_tpu.gis.geometry import box
@@ -52,3 +53,30 @@ def test_production_zero_at_midnight(cutout):
     production = cutout.pv(panel="CdTe", orientation="latitude_optimal",
                            layout=cutout.uniform_layout(), aggregate_time=None)
     assert float(np.asarray(production.values)[0, 0]) == 0.0  # 00:00 UTC January
+
+
+def test_merge_refuses_different_coordinates():
+    """Same-SHAPE cutouts over different regions must not merge into
+    mis-georeferenced data."""
+    from atlite_tpu import Cutout
+
+    a = Cutout(path=None, module="synthetic", x=slice(5, 15), y=slice(47, 55),
+               time="2013-01-01")
+    b = Cutout(path=None, module="synthetic", x=slice(-15, -5), y=slice(47, 55),
+               time="2013-01-01")
+    assert a.grid_desc.shape == b.grid_desc.shape
+    with pytest.raises(ValueError, match="different coordinates"):
+        a.merge(b)
+
+
+def test_isel_time_tolerates_scalar_variable(cutout):
+    """A dimension-less variable (dims=()) must not crash the chunked
+    streamer's time-slice view."""
+    from atlite_tpu import Cutout
+
+    c = Cutout(path=None, data={**cutout.data, "crs_scalar": np.float64(0)},
+               grid_desc=cutout.grid_desc, attrs=dict(cutout.attrs),
+               var_attrs={**cutout.var_attrs, "crs_scalar": {"dims": ()}})
+    sub = c.isel_time(0, 4)
+    assert sub.data["crs_scalar"] == 0.0
+    assert sub.data["wnd100m"].shape[0] == 4

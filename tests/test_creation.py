@@ -136,3 +136,28 @@ def test_weird_resolution_offsets():
     # lattice anchored at the global origin (reference gis.py:63-75)
     assert np.all(c.grid_desc.x >= -4.123) and np.all(c.grid_desc.x <= 1.433)
     assert len(c.grid_desc.x) > 0 and len(c.grid_desc.y) > 0
+
+
+def test_prepare_cleans_auto_tmpdir(monkeypatch, tmp_path):
+    """prepare() without tmpdir creates one and removes it afterwards
+    (reference @maybe_remove_tmpdir) — CDS GRIB chunks must not leak."""
+    import tempfile
+    from pathlib import Path
+
+    from atlite_tpu import Cutout
+
+    made = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy_mkdtemp(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix") == "atlite_tpu_prepare":
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy_mkdtemp)
+    c = Cutout(path=None, module="synthetic", bounds=(-4, 56, -3, 57),
+               time="2013-01-01")
+    c.prepare(features=["wind"])
+    assert made, "prepare() did not create its own tmpdir"
+    assert not Path(made[0]).exists(), "prepare() leaked its tmpdir"

@@ -100,3 +100,30 @@ def test_proj4_datum_potsdam_applies_dhdn_shift():
     np.testing.assert_allclose(y[0], 5540527.2761, atol=1.0)
     lon, lat = crs.transform_points(x, y, s, 4326)
     np.testing.assert_allclose([lon[0], lat[0]], [9.5, 50.0], atol=1e-6)
+
+
+def test_new_projections_device_path_matches_host():
+    """The datum-shifted / variant-A projections keep the xp duality:
+    jitted transform_points_xp == host transform_points."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = [
+        crs.normalize_crs("+proj=tmerc +lat_0=49 +lon_0=-2 "
+                          "+k=0.9996012717 +x_0=400000 +y_0=-100000 "
+                          "+ellps=airy"),
+        crs.normalize_crs("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+                          "+ellps=WGS84"),
+        31370,
+        crs.normalize_crs("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 "
+                          "+x_0=3500000 +datum=potsdam"),
+    ]
+    lon = np.array([4.35, 9.5])
+    lat = np.array([50.85, 50.0])
+    for key in keys:
+        dev = jax.jit(lambda x, y, k=key: crs.transform_points_xp(
+            x, y, 4326, k, jnp))
+        X, Y = dev(jnp.asarray(lon), jnp.asarray(lat))
+        xh, yh = crs.transform_points(lon, lat, 4326, key)
+        np.testing.assert_allclose(np.asarray(X), xh, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(Y), yh, atol=2e-3)

@@ -96,3 +96,35 @@ def test_plot_smoke(da, tmp_path):
     plt.close("all")
     da.isel(time=0, y=0).plot()
     plt.close("all")
+
+def test_sel_multiple_dims_outer_selection():
+    """Array/slice indexers on several dims select OUTER (xarray
+    semantics), not jointly-broadcast numpy advanced indexing."""
+    da = DataArray(
+        np.arange(24.0).reshape(2, 3, 4),
+        coords={"time": pd.RangeIndex(2), "y": pd.Index([50.0, 51, 52]),
+                "x": pd.Index([1.0, 2, 3, 4])},
+        dims=("time", "y", "x"),
+    )
+    r = da.sel(y=slice(50, 52), x=slice(1, 2))
+    assert r.values.shape == (2, 3, 2)
+    np.testing.assert_allclose(r.values, da.values[:, :, :2])
+    # equal-length selections must NOT take the diagonal
+    r2 = da.sel(y=slice(50, 51), x=slice(1, 2))
+    np.testing.assert_allclose(r2.values, da.values[:, :2, :2])
+    # int + array indexers keep the remaining dims in place
+    r3 = da.isel(time=0, x=[1, 2])
+    assert r3.values.shape == (3, 2) and tuple(r3.dims) == ("y", "x")
+    np.testing.assert_allclose(r3.values, da.values[0][:, [1, 2]])
+
+
+def test_binop_refuses_misaligned_coords():
+    a = DataArray(np.array([1.0, 2, 3]), coords={"x": pd.Index([1, 2, 3])},
+                  dims=("x",))
+    b = DataArray(np.array([10.0, 20, 30]), coords={"x": pd.Index([3, 2, 1])},
+                  dims=("x",))
+    with pytest.raises(ValueError, match="align"):
+        a + b
+    c = DataArray(np.array([10.0, 20, 30]), coords={"x": pd.Index([1, 2, 3])},
+                  dims=("x",))
+    np.testing.assert_allclose((a + c).values, [11, 22, 33])

@@ -205,3 +205,42 @@ def test_era5_file_subset_mismatch_raises(tmp_path):
                era5_files=str(FIXTURE))
     with pytest.raises(ValueError, match="does not cover"):
         c.prepare(features=["wind"])
+
+
+def test_open_raw_squeezes_singleton_number_dim(tmp_path):
+    """A singleton ensemble 'number' dimension is squeezed; a real one
+    is refused (flipping/aligning the wrong axis would corrupt data)."""
+    from atlite_tpu.datasets.era5 import _open_raw
+    from atlite_tpu.io import netcdf3
+
+    y = np.array([52.0, 51.75, 51.5])  # descending, as CDS delivers
+    x = np.array([4.0, 4.25])
+    t = np.array([0.0, 1.0])
+    vals = np.arange(12, dtype=np.float64).reshape(2, 1, 3, 2)
+    p = tmp_path / "n1.nc"
+    netcdf3.write(
+        p, dims={"time": 2, "number": 1, "latitude": 3, "longitude": 2},
+        variables={
+            "time": (("time",), t, {"units": "hours since 2013-01-01"}),
+            "latitude": (("latitude",), y, {}),
+            "longitude": (("longitude",), x, {}),
+            "t2m": (("time", "number", "latitude", "longitude"),
+                    vals.astype(np.float32), {}),
+        })
+    fields, coords = _open_raw(p)
+    assert fields["t2m"].shape == (2, 3, 2)
+    # ascending-y flip applied to the Y axis, not the squeezed one
+    np.testing.assert_allclose(fields["t2m"][0, :, 0], [4.0, 2.0, 0.0])
+
+    vals2 = np.zeros((2, 3, 3, 2), dtype=np.float32)
+    p2 = tmp_path / "n3.nc"
+    netcdf3.write(
+        p2, dims={"time": 2, "number": 3, "latitude": 3, "longitude": 2},
+        variables={
+            "time": (("time",), t, {"units": "hours since 2013-01-01"}),
+            "latitude": (("latitude",), y, {}),
+            "longitude": (("longitude",), x, {}),
+            "t2m": (("time", "number", "latitude", "longitude"), vals2, {}),
+        })
+    with pytest.raises(ValueError, match="unsupported dimension 'number'"):
+        _open_raw(p2)

@@ -277,3 +277,39 @@ def test_migrate_from_cutout_directory(tmp_path):
     assert len(migrated.grid_desc.time) == T
     np.testing.assert_allclose(np.asarray(migrated.data["wnd100m"]),
                                np.asarray(base.data["wnd100m"]), rtol=1e-6)
+
+
+def test_write_netcdf3_with_scalar_variable(tmp_path):
+    """A dimension-less variable (e.g. a CRS/grid-mapping scalar carried
+    through from a NETCDF4 cutout) must not break the fixed/record
+    variable ordering sort."""
+    from atlite_tpu.io import netcdf3
+
+    p = tmp_path / "s.nc"
+    netcdf3.write(
+        p, dims={"time": 3, "x": 2},
+        variables={
+            "time": (("time",), np.arange(3, dtype="float64"), {}),
+            "crs": ((), np.float64(0.0), {"grid_mapping_name": "latlon"}),
+            "v": (("time", "x"), np.ones((3, 2), np.float32), {}),
+        },
+        record_dim="time",
+    )
+    dims, variables, _ = netcdf3.read(p)
+    assert variables["crs"][1].shape == ()
+    np.testing.assert_allclose(variables["v"][1], 1.0)
+
+
+def test_to_netcdf_roundtrip_keeps_multi_module(tmp_path, cutout):
+    """A merged multi-module cutout's module=['a','b'] list survives the
+    .nc round-trip (reload keys the datasets registry on it)."""
+    from atlite_tpu import Cutout
+
+    c = Cutout(path=None, data=dict(cutout.data),
+               grid_desc=cutout.grid_desc,
+               attrs={**cutout.attrs, "module": ["sarah", "synthetic"]},
+               var_attrs=dict(cutout.var_attrs))
+    fn = tmp_path / "mm.nc"
+    c.to_netcdf(fn)
+    c2 = Cutout(fn)
+    assert list(np.atleast_1d(c2.module)) == ["sarah", "synthetic"]
