@@ -64,11 +64,22 @@ def maybe_progressbar(result, show_progress=False, **kwargs):
 
 
 def _freeze(d: dict) -> tuple:
-    """Hashable static representation of a config dict (numbers/strings)."""
-    return tuple(sorted(
-        (k, v) for k, v in d.items()
-        if isinstance(v, (int, float, str, bool, type(None)))
-    ))
+    """Hashable static representation of a config dict (numbers/strings).
+
+    numpy scalars (np.float32/np.int64 from pandas/yaml loaders) are
+    unwrapped via .item(); anything else non-hashable raises — silently
+    dropping an entry surfaced as a KeyError deep inside the jitted
+    chain (or a silently-substituted default)."""
+    out = []
+    for k, v in d.items():
+        if isinstance(v, np.generic):
+            v = v.item()
+        if not isinstance(v, (int, float, str, bool, type(None))):
+            raise TypeError(
+                f"config entry {k!r} has unsupported type "
+                f"{type(v).__name__}; expected a number/string/bool/None")
+        out.append((k, v))
+    return tuple(sorted(out))
 
 
 def _thaw(t: tuple) -> dict:
@@ -305,12 +316,18 @@ def _streaming_vars(cutout, convert_func, convert_kwds):
         method = convert_kwds.get("interpolation_method", "logarithmic")
         aux = {"roughness"} if method == "logarithmic" else {"wnd_shear_exp"}
         return speeds | aux
+    # humidity feeds the ENHANCED Reindl clearsky split; omitting it from
+    # the staged sub-cutout silently downgraded the model (pv) or crashed
+    # (irradiation with clearsky_model='enhanced') under streaming
+    humidity = {"humidity"} & have
     if convert_func in (convert_pv, convert_solar_thermal):
-        return influx | albedo | solar | {"temperature"}
+        return influx | albedo | solar | humidity | {"temperature"}
     if convert_func is convert_irradiation:
-        return influx | albedo | solar
+        return influx | albedo | solar | humidity | ({"temperature"} & have)
     if convert_func is convert_csp:
-        return {"influx_direct", "influx_toa"} & have | solar
+        # csp reads only the direct beam (+ solar position); influx_toa
+        # was staged and never consumed — wasted wire bytes per chunk
+        return {"influx_direct"} & have | solar
     if convert_func is convert_temperature:
         return {"temperature"}
     if convert_func is convert_soil_temperature:

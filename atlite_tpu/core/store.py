@@ -101,6 +101,20 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
         write_store(path, grid, data, attrs, var_attrs)
         return
     manifest = json.loads((path / MANIFEST).read_text())
+    # the incremental path never rewrites untouched variable files, so
+    # the caller's grid must match the stored coords — otherwise the new
+    # .npy shapes and the manifest coords silently diverge
+    import pandas as pd
+
+    stored = manifest["coords"]
+    if (len(stored["x"]) != len(grid.x) or len(stored["y"]) != len(grid.y)
+            or len(stored["time"]) != len(grid.time)
+            or not np.allclose(stored["x"], grid.x)
+            or not np.allclose(stored["y"], grid.y)
+            or (pd.DatetimeIndex(stored["time"]).values
+                != np.asarray(grid.time)).any()):
+        write_store(path, grid, data, attrs, var_attrs)  # full rewrite
+        return
     update_vars = set(update_vars)
     known = set(manifest["variables"])
     missing = set(data) - known - update_vars

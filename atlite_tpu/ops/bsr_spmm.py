@@ -131,13 +131,12 @@ def bsr_spmm_scan(bsr, flat_tc):
 # ---------------------------------------------------------------------------
 # Banded formulation — the production large-matrix path
 # ---------------------------------------------------------------------------
-def banded_width(matrix: sp.spmatrix, block_b=128, align=512):
-    """(nb, W) of the banded representation WITHOUT materializing bands —
-    cheap O(nnz) pass so callers can route dense-vs-banded before paying
-    the O(nb*block_b*W) band allocation (which is ~B*C for unbanded
-    matrices — crash-scale at country size)."""
-    B, C = matrix.shape
-    csr = matrix.tocsr()
+def _band_layout(csr, block_b, align):
+    """Shared banding geometry: per-row column ranges, the row sort, and
+    per-block aligned [start, end) windows.  ONE implementation so the
+    cheap width probe (banded_width) and the band builder (to_banded)
+    can never disagree on the banding rule."""
+    B = csr.shape[0]
     nb = -(-B // block_b)
     c0 = np.zeros(B, dtype=np.int64)
     c1 = np.ones(B, dtype=np.int64)
@@ -146,13 +145,22 @@ def banded_width(matrix: sp.spmatrix, block_b=128, align=512):
         if len(cols):
             c0[r], c1[r] = cols.min(), cols.max() + 1
     order = np.argsort(c0, kind="stable")
-    W = 0
+    starts = np.zeros(nb, dtype=np.int64)
+    ends = np.zeros(nb, dtype=np.int64)
     for b in range(nb):
         rows = order[b * block_b:(b + 1) * block_b]
-        lo = (c0[rows].min() // align) * align
-        hi = -(-c1[rows].max() // align) * align
-        W = max(W, int(hi - lo))
-    return nb, W
+        starts[b] = (c0[rows].min() // align) * align
+        ends[b] = -(-c1[rows].max() // align) * align
+    return nb, order, starts, ends
+
+
+def banded_width(matrix: sp.spmatrix, block_b=128, align=512):
+    """(nb, W) of the banded representation WITHOUT materializing bands —
+    cheap O(nnz) pass so callers can route dense-vs-banded before paying
+    the O(nb*block_b*W) band allocation (which is ~B*C for unbanded
+    matrices — crash-scale at country size)."""
+    nb, _, starts, ends = _band_layout(matrix.tocsr(), block_b, align)
+    return nb, int((ends - starts).max())
 
 
 def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
@@ -168,7 +176,7 @@ def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
     densely over the block's union range, padded to a common width W
     aligned to ``align``:
 
-    - 'bands' (nb, block_b, W) float32 dense band blocks,
+    - 'bands' (nb, block_b, W) dense band blocks (matrix dtype),
     - 'tile_idx' (nb, W/align) int32 aligned field-tile indices,
     - 'order'/'inverse' row permutations.
 
@@ -177,24 +185,9 @@ def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
     """
     B, C = matrix.shape
     csr = matrix.tocsr()
-    nb = -(-B // block_b)
-    B_pad = nb * block_b
-
-    c0 = np.zeros(B, dtype=np.int64)
-    c1 = np.ones(B, dtype=np.int64)
-    for r in range(B):
-        cols = csr.indices[csr.indptr[r]:csr.indptr[r + 1]]
-        if len(cols):
-            c0[r], c1[r] = cols.min(), cols.max() + 1
-    order = np.argsort(c0, kind="stable")
+    B_pad = -(-B // block_b) * block_b
+    nb, order, starts, ends = _band_layout(csr, block_b, align)
     inverse = np.argsort(order)
-
-    starts = np.zeros(nb, dtype=np.int64)
-    ends = np.zeros(nb, dtype=np.int64)
-    for b in range(nb):
-        rows = order[b * block_b:(b + 1) * block_b]
-        starts[b] = (c0[rows].min() // align) * align
-        ends[b] = -(-c1[rows].max() // align) * align
     W = int((ends - starts).max())
     if force_w is not None:
         # common band width across shards (sharded aggregation); gathers
@@ -203,7 +196,10 @@ def to_banded(matrix: sp.spmatrix, block_b=128, align=512, force_w=None):
         W = force_w
     n_tiles = W // align
 
-    bands = np.zeros((nb, block_b, W), dtype=np.float32)
+    # keep the matrix's own dtype: hardcoding f32 silently truncated
+    # aggregation weights under x64 (spmm_closure promises dense-path
+    # numerics; cf. to_bsr which keeps coo.data.dtype)
+    bands = np.zeros((nb, block_b, W), dtype=csr.dtype)
     coo = csr.tocoo()
     rpos = inverse[coo.row]  # position in sorted order
     blk = rpos // block_b

@@ -45,8 +45,13 @@ def _curve_eval_unrolled(x, V, POWn):
             continue
         w = (x - left) / (right - left)
         val = POWn[k] * (1 - w) + POWn[k + 1] * w
-        out = out + jnp.where((x > left) & (x <= right), val, 0.0)
-    return out + (x <= V[0]) * POWn[0] + (x > V[-1]) * POWn[-1]
+        # [left, right) membership like physics/wind.power_curve: at a
+        # duplicated cut-in/cut-out knot a query exactly on the knot
+        # takes the POST-jump segment (np.interp semantics) — (left,
+        # right] returned the pre-jump rated value at the cut-out speed
+        out = out + jnp.where((x >= left) & (x < right), val, 0.0)
+    out = out + (x < V[0]) * POWn[0] + (x >= V[-1]) * POWn[-1]
+    return jnp.where(jnp.isnan(x), jnp.nan, out)  # NaN wind stays NaN
 
 
 def wind_pv_bus_megakernel(fields, lat_cell, matrix, V, POWn, panel,
@@ -68,7 +73,11 @@ def wind_pv_bus_megakernel(fields, lat_cell, matrix, V, POWn, panel,
     B_pad = max(128, -(-B // 128) * 128)
 
     def pad2(a):
-        return jnp.pad(a, ((0, T_pad - T), (0, C_pad - C)))
+        # EDGE padding, not zeros: zero roughness/influx in padded cells
+        # produces NaN through the log-law, and NaN * (zero aggregation
+        # weight) = NaN would poison the bus matmul now that the curve
+        # eval propagates NaN like physics/wind.power_curve
+        return jnp.pad(a, ((0, T_pad - T), (0, C_pad - C)), mode="edge")
 
     args = [pad2(jnp.asarray(fields[k])) for k in FIELD_ORDER]
     lat_p = jnp.pad(jnp.asarray(lat_cell, jnp.float32), (0, C_pad - C))[None, :]

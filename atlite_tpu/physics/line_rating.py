@@ -77,8 +77,12 @@ def batched_line_rating(cell_fields, mask, psi, R, D, Ts, epsilon, alpha):
     expand = lambda p: jnp.asarray(p)[:, None, None]
     imax = ampacity(cell_fields, expand(psi), expand(R), expand(D),
                     expand(Ts), expand(epsilon), expand(alpha))
-    imax = jnp.where(mask[:, :, None], imax, jnp.inf)
+    # mask padded cells AND per-cell NaNs (e.g. qc+qr-qs < 0 under an
+    # unusual Ts) to +inf: the reference's .min('spatial') skips NaN, so
+    # one bad cell must not NaN the whole line
+    imax = jnp.where(mask[:, :, None] & ~jnp.isnan(imax), imax, jnp.inf)
     out = jnp.min(imax, axis=1)
+    out = jnp.where(jnp.isinf(out), jnp.nan, out)  # all-NaN line -> NaN
     # lines with no intersecting cells -> NaN (reference uses a NaN dummy,
     # convert.py:1352-1360)
     return jnp.where(mask.any(axis=1)[:, None], out, jnp.nan)

@@ -320,3 +320,31 @@ def test_pv_on_3h_sampled_cutout():
     vals = np.asarray(pv.values)
     assert vals.shape[0] == 8 and np.isfinite(vals).all()
     assert vals[4].mean() > 0  # midday sample generates
+
+
+def test_streamed_enhanced_clearsky_keeps_humidity(cutout_week):
+    """The streamed sub-cutout must stage humidity (+temperature): the
+    enhanced Reindl model silently downgraded to 'simple' (pv) or
+    crashed (irradiation) when the staged variables omitted it."""
+    from atlite_tpu import Cutout
+
+    cw = cutout_week
+    rng = np.random.default_rng(0)
+    shape = np.asarray(cw.data["temperature"]).shape
+    hum = rng.uniform(0.004, 0.012, size=shape)
+    c = Cutout(path=None, data={**cw.data, "humidity": hum},
+               grid_desc=cw.grid_desc, attrs=dict(cw.attrs),
+               var_attrs={**cw.var_attrs,
+                          "humidity": {"dims": ("time", "y", "x")}})
+    kw = dict(panel="CSi", orientation="latitude_optimal",
+              clearsky_model="enhanced", aggregate_time=None)
+    full = c.pv(**kw)
+    chunked = c.pv(**kw, time_chunk=48)
+    np.testing.assert_allclose(np.asarray(chunked.values),
+                               np.asarray(full.values), rtol=1e-10)
+    kw2 = dict(orientation="latitude_optimal", clearsky_model="enhanced",
+               aggregate_time=None)
+    full_i = c.irradiation(**kw2)
+    chunk_i = c.irradiation(**kw2, time_chunk=48)
+    np.testing.assert_allclose(np.asarray(chunk_i.values),
+                               np.asarray(full_i.values), rtol=1e-10)

@@ -131,3 +131,27 @@ def test_line_rating_time_chunked_equals_single(cutout):
     chunked = cutout.line_rating(lines, line_resistance=1e-4, _chunk_hours=7)
     np.testing.assert_allclose(np.asarray(chunked.values),
                                np.asarray(full.values), rtol=1e-6)
+
+
+def test_line_rating_min_skips_nan_cells():
+    """One NaN cell (negative thermal balance) must not NaN the whole
+    line — the reference's .min('spatial') skips NaN."""
+    import jax.numpy as jnp
+
+    from atlite_tpu.physics.line_rating import batched_line_rating
+
+    fields = {
+        "temperature": jnp.asarray([[[390.0], [293.0]]]),  # Ta > Ts -> NaN
+        "wnd100m": jnp.asarray([[[0.6], [0.6]]]),
+        "wnd_azimuth": jnp.asarray([[[0.0], [0.0]]]),
+        "influx_direct": jnp.asarray([[[1000.0], [1000.0]]]),
+        "solar_altitude": jnp.asarray([[[1.0], [1.0]]]),
+        "solar_azimuth": jnp.asarray([[[3.0], [3.0]]]),
+        "height": jnp.asarray([[[100.0], [100.0]]]),
+    }
+    mask = np.array([[True, True]])
+    out = np.asarray(batched_line_rating(
+        fields, jnp.asarray(mask), np.array([np.pi / 2]), np.array([8.8e-5]),
+        np.array([0.028]), np.array([373.0]), np.array([0.8]),
+        np.array([0.8])))
+    assert np.isfinite(out[0, 0]) and out[0, 0] > 0
