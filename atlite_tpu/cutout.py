@@ -398,12 +398,18 @@ class Cutout:
         else:
             write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
 
-    def to_netcdf(self, fn):
-        """Write a reference-compatible NetCDF cutout (NetCDF-3 64-bit
-        offset — readable by xarray/netCDF4 everywhere; reference cutouts
-        are written by xarray.to_netcdf, data.py:261)."""
+    def to_netcdf(self, fn, format="NETCDF4"):
+        """Write a reference-compatible NetCDF cutout.
+
+        The default matches the reference's actual on-disk format —
+        zlib-compressed netCDF4/HDF5 with per-variable complevel-4 deflate
+        encodings (reference data.py:245-261 writes ``{"zlib": True,
+        "complevel": 4}`` via xarray; cutout.py:152 reads it back).
+        ``format="NETCDF3_64BIT"`` emits uncompressed CDF-2 instead (for
+        consumers without an HDF5 stack)."""
         from atlite_tpu.io.netcdf import write_netcdf
 
+        netcdf4 = format.upper().startswith("NETCDF4")
         g = self.grid_desc
         fn = Path(fn)
         dims = {"time": len(g.time), "y": len(g.y), "x": len(g.x)}
@@ -419,16 +425,18 @@ class Cutout:
             variables[name] = (dnames, np.asarray(arr), va)
         attrs = {}
         for k, v in self.attrs.items():
-            if k in ("prepared_features", "module"):
+            if k in ("prepared_features", "module") and not netcdf4:
                 # netCDF-3 attributes cannot hold string lists; a merged
                 # multi-module cutout has module=['sarah', 'era5'] and
                 # must survive the .nc round-trip (reload keys
-                # datamodules on it)
+                # datamodules on it).  netCDF4 stores the list natively.
                 v = ", ".join(np.atleast_1d(v))
             if isinstance(v, (str, int, float, np.integer, np.floating, bool)):
                 attrs[k] = v
+            elif netcdf4 and isinstance(v, (list, tuple, np.ndarray)):
+                attrs[k] = v
         tmp = fn.with_name(fn.name + ".tmp")
-        write_netcdf(tmp, dims, variables, attrs=attrs)
+        write_netcdf(tmp, dims, variables, attrs=attrs, format=format)
         os.replace(tmp, fn)
 
     # ------------------------------------------------------------------ gis

@@ -1,0 +1,447 @@
+"""Pure-Python HDF5 (NETCDF4-model) writer, no libhdf5.
+
+The mirror of ``io/hdf5.py``'s reader: emits the classic HDF5 subset that
+libhdf5/h5py and the reference stack read — superblock v0, v1 object
+headers, old-style (symbol-table) groups, contiguous coordinate datasets,
+chunked data variables behind a v1 chunk b-tree with deflate(+shuffle)
+filters, and the netCDF-4 dimension-scale convention (CLASS/NAME attrs,
+DIMENSION_LIST vlen object references through a global heap collection).
+
+This closes the reference's on-disk format parity: reference cutouts are
+zlib-compressed netCDF4 written by xarray (reference data.py:245-261 —
+``{"zlib": True, "complevel": 4}`` per variable; read back at
+cutout.py:152).  Structures follow the HDF5 File Format Specification
+v3.0; validated against h5py in tests/test_netcdf.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_SYM_LEAF_K = 4       # symbols per SNOD = 2k = 8 (libhdf5 default)
+_SYM_INTERNAL_K = 16  # SNOD children per group b-tree node = 2k = 32
+_ISTORE_K = 32        # chunk-b-tree entries per node = 2k = 64
+
+
+class _Buf:
+    def __init__(self):
+        self.b = bytearray()
+
+    def alloc(self, data):
+        addr = len(self.b)
+        self.b += data
+        return addr
+
+    def reserve(self, n):
+        return self.alloc(b"\x00" * n)
+
+    def patch(self, addr, data):
+        self.b[addr:addr + len(data)] = data
+
+
+# ------------------------------------------------------------- datatypes
+def _dt_float(size):
+    if size == 8:
+        props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        bitfield = bytes([0x20, 0x3F, 0x00])
+    elif size == 4:
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        bitfield = bytes([0x20, 0x1F, 0x00])
+    else:
+        raise ValueError(f"float{size * 8} not supported")
+    return bytes([0x11]) + bitfield + struct.pack("<I", size) + props
+
+
+def _dt_int(size, signed):
+    bitfield = bytes([0x08 if signed else 0x00, 0, 0])
+    props = struct.pack("<HH", 0, 8 * size)
+    return bytes([0x10]) + bitfield + struct.pack("<I", size) + props
+
+
+def _dt_string(size):
+    # null-terminated ASCII fixed-length string
+    return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", max(size, 1))
+
+
+def _dt_reference():
+    return bytes([0x17, 0x00, 0x00, 0x00]) + struct.pack("<I", 8)
+
+
+def _dt_vlen_ref():
+    # vlen sequence of object references (DIMENSION_LIST's type)
+    return bytes([0x19, 0x00, 0x00, 0x00]) + struct.pack("<I", 16) \
+        + _dt_reference()
+
+
+def _encode_dtype(dtype):
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f":
+        return _dt_float(dtype.itemsize)
+    if dtype.kind in "iu":
+        return _dt_int(dtype.itemsize, dtype.kind == "i")
+    if dtype.kind == "S":
+        return _dt_string(dtype.itemsize)
+    if dtype.kind == "b":
+        return _dt_int(1, False)
+    raise ValueError(f"dtype {dtype} not writable as HDF5")
+
+
+def _dataspace(shape):
+    return struct.pack("<BBBBI", 1, len(shape), 0, 0, 0) \
+        + b"".join(struct.pack("<Q", s) for s in shape)
+
+
+# --------------------------------------------------------------- messages
+def _msg(mtype, body, flags=0):
+    body = bytes(body) + b"\x00" * (-len(body) % 8)
+    return struct.pack("<HHB3x", mtype, len(body), flags) + body
+
+
+def _object_header(messages):
+    body = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
+
+
+def _attr_msg(name, dt, ds, data):
+    nameb = name.encode() + b"\x00"
+
+    def pad8(b):
+        return b + b"\x00" * (-len(b) % 8)
+
+    body = struct.pack("<BBHHH", 1, 0, len(nameb), len(dt), len(ds)) \
+        + pad8(nameb) + pad8(dt) + pad8(ds) + bytes(data)
+    return _msg(0x000C, body)
+
+
+def _scalar_attr(name, value):
+    """Encode a python/numpy scalar, string, or small array attribute."""
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return _attr_msg(name, _dt_string(len(raw)), _dataspace(()),
+                         raw + b"\x00")
+    if isinstance(value, bool) or isinstance(value, np.bool_):
+        a = np.asarray(np.int8(int(value)))
+    elif isinstance(value, (bytes, np.bytes_)):
+        return _attr_msg(name, _dt_string(len(value)), _dataspace(()),
+                         bytes(value) + b"\x00")
+    else:
+        a = np.asarray(value)
+    if a.dtype.kind == "U" or (a.dtype.kind == "S" and a.ndim):
+        # list of strings -> fixed-length string array
+        items = [str(s).encode("utf-8") for s in np.atleast_1d(a)]
+        width = max([len(s) for s in items] + [1]) + 1
+        data = b"".join(s.ljust(width, b"\x00") for s in items)
+        return _attr_msg(name, _dt_string(width), _dataspace((len(items),)),
+                         data)
+    if a.dtype.kind == "b":
+        a = a.astype(np.int8)
+    if a.dtype.kind == "M":
+        raise ValueError(f"attr {name}: datetimes must be CF-encoded first")
+    if a.dtype.kind not in "iuf":
+        raise ValueError(f"attr {name}: dtype {a.dtype} unsupported")
+    a = a.astype(a.dtype.newbyteorder("<"))
+    shape = a.shape
+    return _attr_msg(name, _encode_dtype(a.dtype), _dataspace(shape),
+                     a.tobytes())
+
+
+# --------------------------------------------------------------- b-trees
+def _chunk_btree(buf, chunk_entries, rank, shape, chunk_dims):
+    """Write a v1 chunk b-tree (bottom-up); returns root address.
+
+    chunk_entries: list of (offsets_tuple, addr, nbytes) in row-major order.
+    Keys carry rank+1 offsets (trailing element-size dim = 0).
+    """
+    key_size = 8 + (rank + 1) * 8
+    cap = 2 * _ISTORE_K
+    node_size = 24 + (cap + 1) * key_size + cap * 8
+
+    def key(offsets, nbytes, mask=0):
+        return struct.pack("<II", nbytes, mask) \
+            + b"".join(struct.pack("<Q", o) for o in offsets) \
+            + struct.pack("<Q", 0)
+
+    # past-the-end boundary key for the rightmost position
+    end_offsets = tuple(-(-s // c) * c for s, c in zip(shape, chunk_dims))
+
+    def write_level(entries, level):
+        """entries: list of (first_offsets, addr, nbytes_for_key).
+        Returns list of (first_offsets, node_addr) for the parent level."""
+        nodes = []
+        groups = [entries[i:i + cap] for i in range(0, len(entries), cap)]
+        addrs = [buf.reserve(node_size) for _ in groups]
+        for gi, (group, addr) in enumerate(zip(groups, addrs)):
+            left = addrs[gi - 1] if gi > 0 else UNDEF
+            right = addrs[gi + 1] if gi + 1 < len(addrs) else UNDEF
+            body = b"TREE" + struct.pack("<BBHQQ", 1, level, len(group),
+                                         left, right)
+            for offs, caddr, nbytes in group:
+                body += key(offs, nbytes) + struct.pack("<Q", caddr)
+            # right boundary key = next group's first key or past-the-end
+            if gi + 1 < len(groups):
+                noffs, _, nbytes = groups[gi + 1][0]
+                body += key(noffs, nbytes)
+            else:
+                body += key(end_offsets, 0)
+            buf.patch(addr, body)
+            nodes.append((group[0][0], addr, group[0][2]))
+        return nodes
+
+    level = 0
+    entries = [(offs, addr, nbytes) for offs, addr, nbytes in chunk_entries]
+    while True:
+        nodes = write_level(entries, level)
+        if len(nodes) == 1:
+            return nodes[0][1]
+        entries = nodes
+        level += 1
+
+
+def _group_btree(buf, names_sorted, name_offsets, ohdr_addrs):
+    """Write local-heap + SNODs + v1 group b-tree; returns (btree, heap)."""
+    # ---- local heap: offset 0 holds the empty string (b-tree key 0)
+    heap_data = bytearray(b"\x00" * 8)
+    offs = {}
+    for nm in names_sorted:
+        offs[nm] = len(heap_data)
+        b = nm.encode() + b"\x00"
+        heap_data += b + b"\x00" * (-len(b) % 8)
+    data_addr = buf.alloc(bytes(heap_data))
+    heap_addr = buf.alloc(
+        b"HEAP" + bytes([0, 0, 0, 0])
+        + struct.pack("<QQQ", len(heap_data), 1, data_addr))
+
+    # ---- SNODs (sorted, <= 2*leaf_k entries each, fixed node size)
+    snod_cap = 2 * _SYM_LEAF_K
+    snod_size = 8 + snod_cap * 40
+    groups = [names_sorted[i:i + snod_cap]
+              for i in range(0, len(names_sorted), snod_cap)]
+    if len(groups) > 2 * _SYM_INTERNAL_K:
+        raise ValueError(f"too many variables ({len(names_sorted)}) for a "
+                         "single-level group b-tree")
+    snod_addrs = []
+    for group in groups:
+        body = b"SNOD" + struct.pack("<BBH", 1, 0, len(group))
+        for nm in group:
+            body += struct.pack("<QQI4x16x", offs[nm], ohdr_addrs[nm], 0)
+        body += b"\x00" * (snod_size - len(body))
+        snod_addrs.append(buf.alloc(body))
+
+    # ---- group b-tree: key_i = heap offset of largest name in child i-1
+    cap = 2 * _SYM_INTERNAL_K
+    node_size = 24 + (cap + 1) * 8 + cap * 8
+    body = b"TREE" + struct.pack("<BBHQQ", 0, 0, len(groups), UNDEF, UNDEF)
+    body += struct.pack("<Q", 0)  # key 0: empty string
+    for group, saddr in zip(groups, snod_addrs):
+        body += struct.pack("<QQ", saddr, offs[group[-1]])
+    body += b"\x00" * (node_size - len(body))
+    btree_addr = buf.alloc(body)
+    return btree_addr, heap_addr
+
+
+# ------------------------------------------------------------ global heap
+def _global_heap(buf, payloads):
+    """One GCOL collection holding ``payloads`` (list of bytes); returns
+    (collection_addr, [indices])."""
+    objects = b""
+    indices = []
+    for i, data in enumerate(payloads, start=1):
+        indices.append(i)
+        objects += struct.pack("<HH4xQ", i, 1, len(data)) \
+            + data + b"\x00" * (-len(data) % 8)
+    total = max(4096, 16 + len(objects) + 16)
+    total += -total % 8
+    free = total - 16 - len(objects)
+    # object 0 = free space (size includes its own 16-byte header)
+    objects += struct.pack("<HH4xQ", 0, 0, free)
+    body = b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", total) + objects
+    body += b"\x00" * (total - len(body))
+    return buf.alloc(body), indices
+
+
+# ----------------------------------------------------------- fill message
+_FILL_V2_UNDEF_CHUNKED = struct.pack("<BBBB", 2, 3, 2, 0)
+_FILL_V2_UNDEF_CONTIG = struct.pack("<BBBB", 2, 2, 2, 0)
+
+
+def _phony_dim_name(length):
+    return f"This is a netCDF dimension but not a netCDF variable.{length:10d}"
+
+
+def _encode_array(arr):
+    """Coerce an array to an HDF5-writable little-endian dtype."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind == "b":
+        arr = arr.astype(np.int8)
+    elif arr.dtype.kind == "M":
+        raise ValueError("datetime64 must be CF-encoded before writing")
+    elif arr.dtype.kind == "U":
+        arr = arr.astype("S")
+    elif arr.dtype.kind not in "iufS":
+        raise ValueError(f"dtype {arr.dtype} not writable")
+    arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    return arr if arr.ndim == 0 else np.ascontiguousarray(arr)
+
+
+def _default_chunks(shape, itemsize, target=4 << 20):
+    """Chunk along the leading (time) axis to ~4 MiB, keep trailing dims
+    whole — the shape the reference's dask {'time': 100} chunking persists
+    (reference cutout.py:143-147)."""
+    if not shape:
+        return None
+    inner = int(np.prod(shape[1:], dtype=np.int64)) * itemsize
+    lead = max(1, min(shape[0], target // max(inner, 1)))
+    return (lead,) + tuple(shape[1:])
+
+
+def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
+                  shuffle=False, chunks=None):
+    """Write a NETCDF4-model HDF5 file.
+
+    Same contract as ``netcdf3.write``: ``dims`` maps name->length,
+    ``variables`` maps name -> (dim_names, array, attrs).  Data variables
+    (ndim >= 2, or 1-D non-coordinate) are chunked + deflate-compressed at
+    ``complevel`` (reference encodings zlib=True complevel=4,
+    /root/reference/atlite/data.py:245-250); coordinate variables are
+    contiguous.  ``chunks`` optionally maps var name -> chunk shape.
+    """
+    buf = _Buf()
+    buf.reserve(96)  # superblock v0, patched last
+
+    dims = dict(dims)
+    ohdr_addrs = {}
+
+    # ---------------- dimension scales (coordinate vars or phony dims)
+    scale_order = list(dims)
+    for di, dname in enumerate(scale_order):
+        length = dims[dname]
+        var = variables.get(dname)
+        is_coord = (var is not None and len(var[0]) == 1
+                    and var[0][0] == dname)
+        if is_coord:
+            arr = _encode_array(var[1])
+            vattrs = dict(var[2] or {})
+            nc_name = dname
+        else:
+            arr = np.zeros(length, dtype="<f4")
+            vattrs = {}
+            nc_name = _phony_dim_name(length)
+        data_addr = buf.alloc(arr.tobytes())
+        msgs = [
+            _msg(0x0001, _dataspace(arr.shape)),
+            _msg(0x0003, _encode_dtype(arr.dtype), flags=1),
+            _msg(0x0005, _FILL_V2_UNDEF_CONTIG, flags=1),
+            _msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr,
+                                     arr.nbytes)),
+            _scalar_attr("CLASS", "DIMENSION_SCALE"),
+            _scalar_attr("NAME", nc_name),
+            _scalar_attr("_Netcdf4Dimid", np.int32(di)),
+        ]
+        for k, v in vattrs.items():
+            msgs.append(_scalar_attr(k, v))
+        ohdr_addrs[dname] = buf.alloc(_object_header(msgs))
+
+    # ---------------- global heap: one object-reference per dimension
+    gaddr, gidx = _global_heap(
+        buf, [struct.pack("<Q", ohdr_addrs[d]) for d in scale_order])
+    gindex = {d: i for d, i in zip(scale_order, gidx)}
+
+    # ---------------- data variables
+    data_vars = [nm for nm in variables if nm not in ohdr_addrs]
+    for nm in data_vars:
+        dnames, arr, vattrs = variables[nm]
+        dnames = tuple(dnames)
+        arr = _encode_array(arr)
+        if tuple(arr.shape) != tuple(dims[d] for d in dnames):
+            raise ValueError(f"variable {nm}: shape {arr.shape} does not "
+                             f"match dims {dnames}")
+        cdims = (chunks or {}).get(nm) \
+            or _default_chunks(arr.shape, arr.itemsize)
+        msgs = [
+            _msg(0x0001, _dataspace(arr.shape)),
+            _msg(0x0003, _encode_dtype(arr.dtype), flags=1),
+        ]
+        if arr.ndim == 0 or not cdims:
+            data_addr = buf.alloc(arr.tobytes())
+            msgs.append(_msg(0x0005, _FILL_V2_UNDEF_CONTIG, flags=1))
+            msgs.append(_msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr,
+                                                 arr.nbytes)))
+        else:
+            rank = arr.ndim
+            cdims = tuple(int(c) for c in cdims)
+            grid = [-(-s // c) for s, c in zip(arr.shape, cdims)]
+            entries = []
+            for li in range(int(np.prod(grid, dtype=np.int64))):
+                gofs = np.unravel_index(li, grid)
+                offs = tuple(int(g) * c for g, c in zip(gofs, cdims))
+                sel = tuple(slice(o, min(o + c, s))
+                            for o, c, s in zip(offs, cdims, arr.shape))
+                block = arr[sel]
+                if block.shape != cdims:  # edge chunks stored full-size
+                    full = np.zeros(cdims, dtype=arr.dtype)
+                    full[tuple(slice(0, s) for s in block.shape)] = block
+                    block = full
+                raw = block.tobytes()
+                if shuffle:
+                    raw = _shuffle_bytes(raw, arr.itemsize)
+                raw = zlib.compress(raw, complevel)
+                entries.append((offs, buf.alloc(raw), len(raw)))
+            btree = _chunk_btree(buf, entries, rank, arr.shape, cdims)
+            msgs.append(_msg(0x0005, _FILL_V2_UNDEF_CHUNKED, flags=1))
+            filters = []
+            if shuffle:
+                filters.append((2, [arr.itemsize]))
+            filters.append((1, [complevel]))
+            fbody = struct.pack("<BB2x4x", 1, len(filters))
+            for fid, cvals in filters:
+                fbody += struct.pack("<HHHH", fid, 0, 0, len(cvals))
+                fbody += b"".join(struct.pack("<I", v) for v in cvals)
+                if len(cvals) % 2:
+                    fbody += b"\x00" * 4
+            msgs.append(_msg(0x000B, fbody))
+            layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree)
+            layout += b"".join(struct.pack("<I", c) for c in cdims)
+            layout += struct.pack("<I", arr.itemsize)
+            msgs.append(_msg(0x0008, layout))
+        if dnames:
+            dl = b"".join(struct.pack("<IQI", 1, gaddr, gindex[d])
+                          for d in dnames)
+            msgs.append(_attr_msg("DIMENSION_LIST", _dt_vlen_ref(),
+                                  _dataspace((len(dnames),)), dl))
+        for k, v in (vattrs or {}).items():
+            msgs.append(_scalar_attr(k, v))
+        ohdr_addrs[nm] = buf.alloc(_object_header(msgs))
+
+    # ---------------- root group
+    names_sorted = sorted(ohdr_addrs)
+    btree, heap = _group_btree(buf, names_sorted, None, ohdr_addrs)
+    root_msgs = [_msg(0x0011, struct.pack("<QQ", btree, heap))]
+    root_msgs.append(_scalar_attr(
+        "_NCProperties", "version=2,netcdf=4.9.2,hdf5=1.12.2"))
+    for k, v in (attrs or {}).items():
+        root_msgs.append(_scalar_attr(k, v))
+    root_addr = buf.alloc(_object_header(root_msgs))
+
+    # ---------------- superblock v0
+    eof = len(buf.b)
+    sb = b"\x89HDF\r\n\x1a\n" \
+        + bytes([0, 0, 0, 0, 0, 8, 8, 0]) \
+        + struct.pack("<HHI", _SYM_LEAF_K, _SYM_INTERNAL_K, 0) \
+        + struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF) \
+        + struct.pack("<QQI4x", 0, root_addr, 1) \
+        + struct.pack("<QQ", btree, heap)  # cached root stab scratch
+    buf.patch(0, sb)
+    with open(path, "wb") as fh:
+        fh.write(buf.b)
+
+
+def _shuffle_bytes(raw, itemsize):
+    if itemsize <= 1:
+        return raw
+    n = len(raw) // itemsize
+    a = np.frombuffer(raw[:n * itemsize], dtype=np.uint8)
+    return a.reshape(n, itemsize).T.tobytes() + raw[n * itemsize:]

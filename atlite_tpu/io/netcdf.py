@@ -72,10 +72,17 @@ def read_netcdf(path, decode_times=True):
     return dims, variables, attrs
 
 
-def write_netcdf(path, dims, variables, attrs=None, record_dim=None):
-    """Write NetCDF-3 64-bit-offset.  datetime64 arrays are CF-encoded as
-    float64 'hours since 1900-01-01'; int64 data is cast to int32 when
-    lossless (NetCDF-3 has no 64-bit integer type)."""
+def write_netcdf(path, dims, variables, attrs=None, record_dim=None,
+                 format="NETCDF3_64BIT", **kwargs):
+    """Write a NetCDF file.
+
+    format="NETCDF4" emits a compressed netCDF4/HDF5 file (the reference's
+    on-disk cutout format, /root/reference/atlite/data.py:245-261, zlib
+    complevel 4); "NETCDF3_64BIT" emits CDF-2.  datetime64 arrays are
+    CF-encoded as 'hours since 1900-01-01' (int64 for NETCDF4 when
+    lossless, float64 otherwise); NetCDF-3 additionally downcasts int64 to
+    int32 when lossless (CDF-2 has no 64-bit integer type)."""
+    netcdf4 = format.upper().startswith("NETCDF4")
     enc = {}
     for name, (dnames, arr, vattrs) in variables.items():
         arr = np.asarray(arr)
@@ -84,8 +91,16 @@ def write_netcdf(path, dims, variables, attrs=None, record_dim=None):
             vattrs["units"] = "hours since 1900-01-01"
             vattrs["calendar"] = "proleptic_gregorian"
             arr = encode_cf_time(arr)
+            if netcdf4:
+                as64 = arr.astype(np.int64)
+                if np.array_equal(as64, arr):
+                    arr = as64
         elif arr.dtype.kind == "b":
             arr = arr.astype(np.int8)
+        elif netcdf4:
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+            # all other integer/float widths stored natively by HDF5
         elif arr.dtype == np.int64 or arr.dtype == np.uint32 \
                 or arr.dtype == np.uint64:
             as32 = arr.astype(np.int32)
@@ -97,4 +112,9 @@ def write_netcdf(path, dims, variables, attrs=None, record_dim=None):
         elif arr.dtype == np.uint8:
             arr = arr.astype(np.int16)
         enc[name] = (dnames, arr, vattrs)
-    netcdf3.write(path, dims, enc, attrs=attrs, record_dim=record_dim)
+    if netcdf4:
+        from atlite_tpu.io.hdf5_write import write_netcdf4
+
+        write_netcdf4(path, dims, enc, attrs=attrs, **kwargs)
+    else:
+        netcdf3.write(path, dims, enc, attrs=attrs, record_dim=record_dim)

@@ -180,6 +180,89 @@ def test_hdf5_netcdf4_dimension_scales(tmp_path):
     assert list(attrs["prepared_features"]) == ["wind", "influx"]
 
 
+# ---------------------------------------------------------- hdf5 writer
+def test_hdf5_writer_vs_h5py(tmp_path):
+    """Our netCDF4 writer's output opens in h5py with compressed chunks,
+    attached dimension scales and intact values/attrs (the reference's
+    on-disk cutout format, reference data.py:245-261)."""
+    from atlite_tpu.io.hdf5_write import write_netcdf4
+
+    rng = np.random.default_rng(0)
+    T, NY, NX = 40, 7, 9
+    data = rng.random((T, NY, NX)).astype("f4")
+    hgt = rng.random((NY, NX))
+    fn = tmp_path / "w.nc"
+    write_netcdf4(
+        fn, {"time": T, "y": NY, "x": NX, "extra": 3},
+        {
+            "time": (("time",), np.arange(T, dtype="i8"),
+                     {"units": "hours since 2013-01-01"}),
+            "y": (("y",), np.linspace(50, 56, NY), {}),
+            "x": (("x",), np.linspace(-3, 5, NX), {}),
+            "wnd100m": (("time", "y", "x"), data,
+                        {"module": "era5", "feature": "wind"}),
+            "height": (("y", "x"), hgt, {"units": "m"}),
+            "scalarv": ((), np.float64(3.5), {}),
+        },
+        {"module": "era5", "prepared_features": ["wind", "influx"], "n": 3},
+        chunks={"wnd100m": (16, NY, NX)},
+    )
+    with h5py.File(fn, "r") as f:
+        d = f["wnd100m"]
+        assert d.compression == "gzip" and d.compression_opts == 4
+        assert d.chunks == (16, NY, NX)
+        np.testing.assert_array_equal(d[:], data)
+        np.testing.assert_array_equal(f["height"][:], hgt)
+        np.testing.assert_array_equal(f["time"][:], np.arange(T))
+        assert f["time"].attrs["units"] == b"hours since 2013-01-01"
+        assert [dd[0].name for dd in d.dims] == ["/time", "/y", "/x"]
+        assert f.attrs["module"] == b"era5"
+        assert list(f.attrs["prepared_features"]) == [b"wind", b"influx"]
+        assert f.attrs["n"] == 3
+        assert f["scalarv"][()] == 3.5
+        assert f["extra"].shape == (3,)  # phony dimension
+    # round-trips through our own reader
+    from atlite_tpu.io import hdf5
+
+    dims, variables, attrs = hdf5.read_netcdf4(fn)
+    assert dims == {"time": T, "y": NY, "x": NX, "extra": 3}
+    assert variables["wnd100m"][0] == ("time", "y", "x")
+    np.testing.assert_array_equal(variables["wnd100m"][1], data)
+    assert variables["wnd100m"][2]["feature"] == "wind"
+    assert list(attrs["prepared_features"]) == ["wind", "influx"]
+
+
+def test_hdf5_writer_multilevel_btree_and_snods(tmp_path):
+    """>64 chunks forces a 2-level v1 chunk b-tree; >8 datasets force
+    multiple SNODs in the group b-tree; shuffle filter round-trips."""
+    from atlite_tpu.io import hdf5
+    from atlite_tpu.io.hdf5_write import write_netcdf4
+
+    rng = np.random.default_rng(1)
+    T, NY, NX = 300, 5, 6
+    dims = {"time": T, "y": NY, "x": NX}
+    variables = {
+        "time": (("time",), np.arange(T, dtype="f8"), {}),
+        "y": (("y",), np.arange(NY, dtype="f8"), {}),
+        "x": (("x",), np.arange(NX, dtype="f8"), {}),
+    }
+    arrays = {}
+    for i in range(14):
+        a = rng.standard_normal((T, NY, NX)).astype("f4" if i % 2 else "f8")
+        arrays[f"var{i:02d}"] = a
+        variables[f"var{i:02d}"] = (("time", "y", "x"), a, {})
+    fn = tmp_path / "m.nc"
+    write_netcdf4(fn, dims, variables, {}, shuffle=True,
+                  chunks={n: (2, NY, NX) for n in arrays})
+    with h5py.File(fn, "r") as f:
+        for n, a in arrays.items():
+            np.testing.assert_array_equal(f[n][:], a)
+        assert f["var00"].shuffle
+    _, v2, _ = hdf5.read_netcdf4(fn)
+    for n, a in arrays.items():
+        np.testing.assert_array_equal(v2[n][1], a)
+
+
 # --------------------------------------------------------- Cutout interop
 def test_cutout_nc_roundtrip_and_convert(tmp_path):
     c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
@@ -187,6 +270,11 @@ def test_cutout_nc_roundtrip_and_convert(tmp_path):
     c.prepare()
     fn = tmp_path / "cut.nc"
     c.to_netcdf(fn)
+    # default format IS the reference's: compressed netCDF4/HDF5
+    assert fn.read_bytes()[:8] == b"\x89HDF\r\n\x1a\n"
+    with h5py.File(fn, "r") as f:
+        assert f["wnd100m"].compression == "gzip"
+        assert f["wnd100m"].compression_opts == 4
     c2 = Cutout(fn)
     assert c2.prepared
     assert c2.shape == c.shape
@@ -242,6 +330,24 @@ def test_prepare_writes_nc_cutout(tmp_path):
     assert c2.prepared
     c3 = Cutout(fn)
     assert c3.prepared
+
+
+def test_cutout_to_netcdf3_format_option(tmp_path):
+    """format='NETCDF3_64BIT' still emits CDF-2 for HDF5-less consumers;
+    compression makes the default netCDF4 file smaller on smooth data."""
+    c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
+               time="2013-01-01")
+    c.prepare(features=["wind"])
+    fn3 = tmp_path / "c3.nc"
+    c.to_netcdf(fn3, format="NETCDF3_64BIT")
+    assert fn3.read_bytes()[:3] == b"CDF"
+    c3 = Cutout(fn3)
+    fn4 = tmp_path / "c4.nc"
+    c.to_netcdf(fn4)
+    c4 = Cutout(fn4)
+    np.testing.assert_allclose(np.asarray(c3.data["wnd100m"]),
+                               np.asarray(c4.data["wnd100m"]), rtol=1e-6)
+    assert fn4.stat().st_size < fn3.stat().st_size
 
 
 # -------------------------------------------------------------- migration
