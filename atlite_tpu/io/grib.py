@@ -116,6 +116,71 @@ GRIB1_PARAMS = {
 GRIB1_PARAMS_INV = {v: k for k, v in GRIB1_PARAMS.items()}
 
 
+# ---------------------------------------------------------------------------
+# Gaussian grids (ERA5's native N320 reduced grid; reference gets these
+# decoded by eccodes/cfgrib, /root/reference/atlite/datasets/era5.py:352-429)
+# ---------------------------------------------------------------------------
+def gaussian_latitudes(n_half):
+    """The 2N Gaussian latitudes of an N-grid in degrees, north->south:
+    arcsin of the roots of the Legendre polynomial P_2N, found by Newton
+    iteration on the three-term recurrence (float64; N320 values match
+    the published ECMWF tables to ~1e-12 deg; pinned against
+    numpy.polynomial.legendre.leggauss in tests/test_grib.py)."""
+    n = 2 * int(n_half)
+    if n <= 0:
+        raise ValueError(f"bad Gaussian N {n_half}")
+    i = np.arange(1, n + 1, dtype=np.float64)
+    x = np.cos(np.pi * (i - 0.25) / (n + 0.5))  # north-to-south
+    for _ in range(100):
+        p0 = np.ones_like(x)
+        p1 = x.copy()
+        for k in range(2, n + 1):
+            p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+        dp = n * (x * p1 - p0) / (x * x - 1.0)
+        dx = p1 / dp
+        x -= dx
+        if float(np.max(np.abs(dx))) < 1e-15:
+            break
+    return np.degrees(np.arcsin(x))
+
+
+def _gaussian_subset(n_half, lat_first, lat_last, nj):
+    """Select the nj consecutive Gaussian latitudes of the N-grid whose
+    first row matches lat_first (GRIB messages may carry a sub-area)."""
+    glats = gaussian_latitudes(n_half)
+    if lat_first < lat_last:  # south-to-north scanning
+        glats = glats[::-1]
+    i0 = int(np.argmin(np.abs(glats - lat_first)))
+    if abs(glats[i0] - lat_first) > 0.05 or i0 + nj > len(glats):
+        raise ValueError(
+            f"first latitude {lat_first} does not sit on the N{n_half} "
+            f"Gaussian grid (nearest {glats[i0]:.6f}, nj={nj})")
+    return glats[i0:i0 + nj].copy()
+
+
+def _reduced_to_regular(flat, pl, lon_start, ni_reg):
+    """Interpolate a reduced-Gaussian field (per-row point counts ``pl``,
+    rows concatenated west->east starting at ``lon_start`` with periodic
+    360/pl[r] spacing) onto ``ni_reg`` regular longitudes — periodic
+    linear interpolation per row, the moral equivalent of what
+    eccodes/Metview do when regularizing reduced grids."""
+    pl = np.asarray(pl, dtype=np.int64)
+    out = np.empty((len(pl), ni_reg), dtype=np.float64)
+    tfrac = np.arange(ni_reg, dtype=np.float64) / ni_reg  # target, turns
+    pos = 0
+    for r, n in enumerate(pl):
+        n = int(n)
+        row = flat[pos:pos + n]
+        pos += n
+        f = tfrac * n  # target position in source-row units
+        i0 = np.floor(f).astype(np.int64) % n
+        i1 = (i0 + 1) % n
+        w = f - np.floor(f)
+        out[r] = row[i0] * (1.0 - w) + row[i1] * w
+    lons = lon_start + 360.0 * tfrac
+    return out, lons
+
+
 def _decode_grib1_message(buf, off):
     """Decode one GRIB1 message at `off`; returns (record dict, next_off)."""
     assert buf[off:off + 4] == b"GRIB"
@@ -166,9 +231,11 @@ def _decode_grib1_message(buf, off):
         raise NotImplementedError("GRIB1 message without GDS")
     gds_len = int.from_bytes(buf[pos:pos + 3], "big")
     gds = buf[pos:pos + gds_len]
+    nv, pvloc = gds[3], gds[4]
     drt = gds[5]
-    if drt != 0:
-        raise NotImplementedError(f"GRIB1 grid type {drt} (only lat/lon)")
+    if drt not in (0, 4):
+        raise NotImplementedError(
+            f"GRIB1 grid type {drt} (lat/lon and Gaussian only)")
     ni = int.from_bytes(gds[6:8], "big")
     nj = int.from_bytes(gds[8:10], "big")
     lat1 = _sm24(gds[10:13]) / 1000.0
@@ -183,6 +250,17 @@ def _decode_grib1_message(buf, off):
     # transpose the field
     if scan & 0x20:
         raise NotImplementedError("GRIB1 j-consecutive scanning mode")
+    pl = None
+    if drt == 4 and ni == 0xFFFF:  # reduced Gaussian: per-row PL list
+        if pvloc in (0, 255):
+            raise ValueError("reduced Gaussian GRIB1 without a PL list")
+        ploff = pvloc - 1 + 4 * nv
+        if ploff + 2 * nj > gds_len:
+            raise ValueError("GRIB1 PL list extends past the GDS")
+        pl = np.frombuffer(gds, dtype=">u2", count=nj,
+                           offset=ploff).astype(np.int64)
+        if pl.min() < 1:
+            raise ValueError("GRIB1 PL list with empty rows")
     pos += gds_len
 
     # --- BMS
@@ -208,7 +286,8 @@ def _decode_grib1_message(buf, off):
     ref_value = _ibm32_decode(buf[pos + 6:pos + 10])
     nbits = buf[pos + 10]
     data_bytes = buf[pos + 11:pos + bds_len]
-    npoints = ni * nj if bitmap is None else int(bitmap[:ni * nj].sum())
+    ntotal = int(pl.sum()) if pl is not None else ni * nj
+    npoints = ntotal if bitmap is None else int(bitmap[:ntotal].sum())
     if nbits:
         x = _unpack_bits(data_bytes, nbits, npoints)
         vals = ref_value + x.astype(np.float64) * 2.0 ** bin_scale
@@ -216,13 +295,23 @@ def _decode_grib1_message(buf, off):
         vals = np.full(npoints, ref_value)
     vals = vals * 10.0 ** (-dec_scale)
     if bitmap is not None:
-        full = np.full(ni * nj, np.nan)
-        full[bitmap[:ni * nj]] = vals
+        full = np.full(ntotal, np.nan)
+        full[bitmap[:ntotal]] = vals
         vals = full
-    grid = vals.reshape(nj, ni)
     # scanning mode bit 2 (0x40): +j direction (south->north)
-    lats = np.linspace(lat1, lat2, nj)
-    lons = np.linspace(lon1, lon2, ni)
+    if pl is not None:  # reduced Gaussian -> regularize per row
+        n_half = int.from_bytes(gds[25:27], "big")
+        lats = _gaussian_subset(n_half, lat1, lat2, nj)
+        grid, lons = _reduced_to_regular(vals, pl, lon1, int(pl.max()))
+    elif drt == 4:  # regular Gaussian: exact latitudes, uniform lons
+        n_half = int.from_bytes(gds[25:27], "big")
+        lats = _gaussian_subset(n_half, lat1, lat2, nj)
+        lons = np.linspace(lon1, lon2, ni)
+        grid = vals.reshape(nj, ni)
+    else:
+        lats = np.linspace(lat1, lat2, nj)
+        lons = np.linspace(lon1, lon2, ni)
+        grid = vals.reshape(nj, ni)
     pos += bds_len
     assert buf[off + total - 4:off + total] == b"7777", "missing GRIB1 end"
 
@@ -237,13 +326,24 @@ def _decode_grib1_message(buf, off):
 def encode_grib1(records):
     """Encode records (dicts with shortName/values/lats/lons/valid_time,
     optional nbits/dec_scale) into a GRIB1 byte stream.  Used for test
-    fixtures and offline archiving."""
+    fixtures and offline archiving.
+
+    Gaussian grids: pass ``gauss_n`` (the N of the N-grid) for grid type
+    4; with ``pl`` (per-row point counts) the record is reduced Gaussian —
+    ``values`` is then the flat 1-D row-concatenated array and ``lats``
+    the per-row latitudes."""
     out = []
     for rec in records:
         vals = np.asarray(rec["values"], dtype=np.float64)
         lats = np.asarray(rec["lats"], dtype=float)
         lons = np.asarray(rec["lons"], dtype=float)
-        nj, ni = vals.shape
+        pl = rec.get("pl")
+        if pl is not None:
+            pl = np.asarray(pl, dtype=np.int64)
+            nj, ni = len(pl), 0xFFFF
+            assert vals.ndim == 1 and vals.size == int(pl.sum())
+        else:
+            nj, ni = vals.shape
         t = np.datetime64(rec["valid_time"], "m").astype("datetime64[m]")
         tt = t.astype(object)
         table2, param = GRIB1_PARAMS_INV.get(
@@ -300,11 +400,12 @@ def encode_grib1(records):
             pds.extend(bytes(3))             # octets 50-52 padding
             pds[0:3] = (len(pds)).to_bytes(3, "big")
 
+        gauss_n = rec.get("gauss_n")
         gds = bytearray(32)
         gds[0:3] = (32).to_bytes(3, "big")
         gds[3] = 0
         gds[4] = 255
-        gds[5] = 0  # lat/lon
+        gds[5] = 4 if gauss_n else 0  # Gaussian / lat-lon
         gds[6:8] = struct.pack(">H", ni)
         gds[8:10] = struct.pack(">H", nj)
         gds[10:13] = _sm24_encode(int(round(lats[0] * 1000)))
@@ -312,12 +413,19 @@ def encode_grib1(records):
         gds[16] = 0x80  # resolution/direction increments given
         gds[17:20] = _sm24_encode(int(round(lats[-1] * 1000)))
         gds[20:23] = _sm24_encode(int(round(lons[-1] * 1000)))
-        di = abs(lons[1] - lons[0]) if ni > 1 else 0
-        dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+        di = abs(lons[1] - lons[0]) if (pl is None and ni > 1) else 0
         gds[23:25] = struct.pack(">H", int(round(di * 1000)))
-        gds[25:27] = struct.pack(">H", int(round(dj * 1000)))
+        if gauss_n:
+            gds[25:27] = struct.pack(">H", int(gauss_n))
+        else:
+            dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+            gds[25:27] = struct.pack(">H", int(round(dj * 1000)))
         gds[27] = 0x40 if (nj > 1 and lats[1] > lats[0]) else 0
         # octets 29-32 reserved (zeros)
+        if pl is not None:
+            gds[4] = 33  # PL list at octet 33 (no vertical coords)
+            gds.extend(b"".join(struct.pack(">H", int(p)) for p in pl))
+            gds[0:3] = len(gds).to_bytes(3, "big")
 
         bms = b""
         if has_bms:
@@ -393,8 +501,9 @@ def _decode_grib2_message(buf, off):
                 f"{year:04d}-{mo:02d}-{dy:02d}T{hr:02d}:{mi:02d}")
         elif sec_num == 3:
             tmpl = int.from_bytes(buf[body + 7:body + 9], "big")
-            if tmpl != 0:
+            if tmpl not in (0, 40):
                 raise NotImplementedError(f"GRIB2 grid template {tmpl}")
+            losize = buf[body + 5]  # octets per optional-list entry
             g = body + 9
             ni = int.from_bytes(buf[g + 16:g + 20], "big")
             nj = int.from_bytes(buf[g + 20:g + 24], "big")
@@ -411,9 +520,33 @@ def _decode_grib2_message(buf, off):
             if scan & 0x20:  # column-major data order (see GRIB1 note)
                 raise NotImplementedError(
                     "GRIB2 j-consecutive scanning mode")
-            meta.update(ni=ni, nj=nj,
-                        lats=np.linspace(lat1, lat2, nj),
-                        lons=np.linspace(lon1, lon2, ni))
+            meta.pop("pl", None)
+            if tmpl == 40:  # (reduced) Gaussian, template 3.40
+                n_half = int.from_bytes(buf[g + 53:g + 57], "big")
+                lats = _gaussian_subset(n_half, lat1, lat2, nj)
+                if ni == 0xFFFFFFFF:  # reduced: per-row list ends sec 3
+                    if losize == 0:
+                        raise ValueError(
+                            "reduced Gaussian GRIB2 without a PL list")
+                    lo = pos + sec_len - nj * losize
+                    if lo < g + 58:
+                        raise ValueError("GRIB2 PL list overlaps template")
+                    pl = np.array(
+                        [int.from_bytes(buf[lo + i * losize:
+                                            lo + (i + 1) * losize], "big")
+                         for i in range(nj)], dtype=np.int64)
+                    if pl.min() < 1:
+                        raise ValueError("GRIB2 PL list with empty rows")
+                    ni = int(pl.max())
+                    meta.update(ni=ni, nj=nj, pl=pl, lon1=lon1, lats=lats,
+                                lons=lon1 + 360.0 * np.arange(ni) / ni)
+                else:
+                    meta.update(ni=ni, nj=nj, lats=lats,
+                                lons=np.linspace(lon1, lon2, ni))
+            else:
+                meta.update(ni=ni, nj=nj,
+                            lats=np.linspace(lat1, lat2, nj),
+                            lons=np.linspace(lon1, lon2, ni))
         elif sec_num == 4:
             tmpl = int.from_bytes(buf[body + 2:body + 4], "big")
             # template 4.0 octets (1-based in section): 10 category,
@@ -491,7 +624,8 @@ def _decode_grib2_message(buf, off):
         elif sec_num == 6:
             ind = buf[body]
             if ind == 0:
-                nbits_total = meta["ni"] * meta["nj"]
+                nbits_total = int(meta["pl"].sum()) \
+                    if meta.get("pl") is not None else meta["ni"] * meta["nj"]
                 meta["bitmap"] = _unpack_bits(
                     buf[body + 1:pos + sec_len], 1, nbits_total).astype(bool)
             elif ind == 255:
@@ -511,9 +645,14 @@ def _decode_grib2_message(buf, off):
                    meta["level_type"], int(meta["level"]))
             short = GRIB2_PARAMS.get(
                 key, GRIB2_PARAMS_NOLEVEL.get(key[:4], f"p{key}"))
+            if meta.get("pl") is not None:
+                grid, _ = _reduced_to_regular(vals, meta["pl"],
+                                              meta["lon1"], meta["ni"])
+            else:
+                grid = vals.reshape(meta["nj"], meta["ni"])
             records.append({
                 "shortName": short,
-                "values": vals.reshape(meta["nj"], meta["ni"]),
+                "values": grid,
                 "lats": meta["lats"], "lons": meta["lons"],
                 "valid_time": meta.get(
                     "interval_end",
@@ -605,13 +744,24 @@ def _decode_complex(data, meta):
 
 
 def encode_grib2(records):
-    """Encode records as GRIB2 with simple packing (templates 3.0/4.0/5.0)."""
+    """Encode records as GRIB2 with simple packing (templates 3.0/4.0/5.0).
+
+    Pass ``gauss_n`` for a Gaussian grid (template 3.40); with ``pl``
+    (per-row point counts) it is reduced Gaussian and ``values`` is the
+    flat row-concatenated 1-D array."""
     out = []
     for rec in records:
         vals = np.asarray(rec["values"], dtype=np.float64)
         lats = np.asarray(rec["lats"], dtype=float)
         lons = np.asarray(rec["lons"], dtype=float)
-        nj, ni = vals.shape
+        pl = rec.get("pl")
+        gauss_n = rec.get("gauss_n")
+        if pl is not None:
+            pl = np.asarray(pl, dtype=np.int64)
+            nj, ni = len(pl), 0xFFFFFFFF
+            assert vals.ndim == 1 and vals.size == int(pl.sum())
+        else:
+            nj, ni = vals.shape
         key = GRIB2_PARAMS_INV.get(rec["shortName"], rec.get("param"))
         discipline, cat, num, lev_type, lev = key
         nbits = int(rec.get("nbits", 16))
@@ -641,14 +791,15 @@ def encode_grib2(records):
                 + struct.pack(">H", t_ref.year)
                 + bytes([t_ref.month, t_ref.day, t_ref.hour, t_ref.minute,
                          0, 0, 1]))
+        npts = int(pl.sum()) if pl is not None else ni * nj
         g = bytearray(72)
         struct.pack_into(">I", g, 0, 72)
         g[4] = 3
         g[5] = 0
-        struct.pack_into(">I", g, 6, ni * nj)
-        g[10] = 0
-        g[11] = 0
-        struct.pack_into(">H", g, 12, 0)  # template 3.0
+        struct.pack_into(">I", g, 6, npts)
+        g[10] = 2 if pl is not None else 0  # octets per PL entry
+        g[11] = 1 if pl is not None else 0  # list = points per row
+        struct.pack_into(">H", g, 12, 40 if gauss_n else 0)  # template
         body = 14
         g[body + 16:body + 20] = struct.pack(">I", ni)
         g[body + 20:body + 24] = struct.pack(">I", nj)
@@ -661,11 +812,17 @@ def encode_grib2(records):
         g[body + 40] = 0x30
         g[body + 41:body + 45] = s32e(int(round(lats[-1] * 1e6)))
         g[body + 45:body + 49] = s32e(int(round(lons[-1] * 1e6)))
-        di = abs(lons[1] - lons[0]) if ni > 1 else 0
-        dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+        di = abs(lons[1] - lons[0]) if (pl is None and ni > 1) else 0
         g[body + 49:body + 53] = struct.pack(">I", int(round(di * 1e6)))
-        g[body + 53:body + 57] = struct.pack(">I", int(round(dj * 1e6)))
+        if gauss_n:
+            g[body + 53:body + 57] = struct.pack(">I", int(gauss_n))
+        else:
+            dj = abs(lats[1] - lats[0]) if nj > 1 else 0
+            g[body + 53:body + 57] = struct.pack(">I", int(round(dj * 1e6)))
         g[body + 57] = 0x40 if (nj > 1 and lats[1] > lats[0]) else 0
+        if pl is not None:
+            g.extend(b"".join(struct.pack(">H", int(p)) for p in pl))
+            struct.pack_into(">I", g, 0, len(g))
 
         s4 = bytearray(58 if interval_h else 34)
         struct.pack_into(">I", s4, 0, len(s4))

@@ -221,3 +221,129 @@ def test_grib2_other_product_template_decodes_common_prefix(tmp_path):
     raw2[idx + 7:idx + 9] = (20).to_bytes(2, "big")  # 4.20 radar product
     with pytest.raises(NotImplementedError, match="product template"):
         grib.read(bytes(raw2))
+
+
+# ------------------------------------------------------------ Gaussian grids
+def test_gaussian_latitudes_vs_legendre_oracle():
+    """Gaussian latitudes = arcsin of the Legendre P_2N roots; pinned
+    against numpy's Gauss-Legendre nodes and the published ECMWF first
+    latitude of the ERA5 native N320 grid (89.784877 deg)."""
+    for N in (8, 16, 160):
+        lats = grib.gaussian_latitudes(N)
+        nodes, _ = np.polynomial.legendre.leggauss(2 * N)
+        oracle = np.degrees(np.arcsin(np.sort(nodes)[::-1]))
+        np.testing.assert_allclose(lats, oracle, atol=1e-12)
+        assert lats[0] > 0 and lats[0] == -lats[-1]  # symmetric N->S
+    np.testing.assert_allclose(grib.gaussian_latitudes(320)[0],
+                               89.784877, atol=1e-5)
+
+
+def _analytic(lat, lon):
+    return (280.0 + 10.0 * np.sin(np.radians(lat))
+            + 5.0 * np.cos(np.radians(lon)))
+
+
+def _reduced_fixture(N=8, dense=False):
+    glats = grib.gaussian_latitudes(N)
+    base = 48 if dense else 16
+    pl = np.array([4 * min(i + 1, 2 * N - i) + base for i in range(2 * N)])
+    flat = np.concatenate([
+        _analytic(glats[r], 360.0 * np.arange(pl[r]) / pl[r])
+        for r in range(2 * N)])
+    return glats, pl, flat
+
+
+@pytest.mark.parametrize("encode,edition", [
+    (grib.encode_grib1, 1), (grib.encode_grib2, 2)])
+def test_reduced_gaussian_roundtrip(encode, edition):
+    """A reduced-Gaussian field (GRIB1 grid type 4 with PL list / GRIB2
+    template 3.40) decodes onto a regular lattice matching the analytic
+    field: exact Gaussian latitudes, per-row periodic interpolation in
+    longitude.  ERA5's native grid — the reference gets this from
+    eccodes/cfgrib (reference era5.py:352-429)."""
+    N = 8
+    glats, pl, flat = _reduced_fixture(N, dense=True)
+    rec = {"shortName": "t2m", "values": flat, "lats": glats,
+           "lons": np.array([0.0, 360.0 * (1 - 1 / pl.max())]),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "pl": pl, "gauss_n": N, "nbits": 24,
+           "param": (0, 0, 0, 103, 2)}
+    out = grib.read(encode([rec]))
+    assert len(out) == 1
+    r = out[0]
+    ni = int(pl.max())
+    assert r["values"].shape == (2 * N, ni)
+    np.testing.assert_allclose(r["lats"], glats, atol=1e-4)
+    lons = 360.0 * np.arange(ni) / ni
+    np.testing.assert_allclose(r["lons"], lons, atol=1e-6)
+    # vs the independent analytic oracle: error bounded by the linear
+    # interpolation truncation of cos() on the coarsest (48-point) row
+    expect = _analytic(glats[:, None], lons[None, :])
+    assert np.abs(r["values"] - expect).max() < 2e-2
+
+
+def test_reduced_gaussian_coarse_rows_interp_error_bounded():
+    """On very coarse polar rows (20 points) the periodic linear interp
+    error stays within its second-order truncation bound."""
+    N = 8
+    glats, pl, flat = _reduced_fixture(N, dense=False)
+    rec = {"shortName": "t2m", "values": flat, "lats": glats,
+           "lons": np.array([0.0, 360.0 * (1 - 1 / pl.max())]),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "pl": pl, "gauss_n": N, "nbits": 24}
+    r = grib.read(grib.encode_grib1([rec]))[0]
+    ni = int(pl.max())
+    lons = 360.0 * np.arange(ni) / ni
+    expect = _analytic(glats[:, None], lons[None, :])
+    # h = 18 deg on the 20-point rows: |err| <= A*(pi*h/360)^2/2 ~ 0.062
+    assert np.abs(r["values"] - expect).max() < 0.08
+
+
+def test_regular_gaussian_grib1_exact_latitudes():
+    N = 8
+    glats = grib.gaussian_latitudes(N)
+    lons = np.linspace(0, 350, 36)
+    vals = _analytic(glats[:, None], lons[None, :])
+    rec = {"shortName": "t2m", "values": vals, "lats": glats, "lons": lons,
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "gauss_n": N, "nbits": 24}
+    r = grib.read(grib.encode_grib1([rec]))[0]
+    np.testing.assert_allclose(r["lats"], glats, atol=1e-4)
+    np.testing.assert_allclose(r["values"], vals, atol=1e-3)
+
+
+def test_gaussian_subset_rows():
+    """A sub-area Gaussian message (rows not starting at the pole) snaps
+    onto the exact Gaussian latitudes of its N-grid."""
+    N = 16
+    glats = grib.gaussian_latitudes(N)
+    sel = glats[5:14]
+    lons = np.linspace(0, 350, 36)
+    vals = _analytic(sel[:, None], lons[None, :])
+    rec = {"shortName": "t2m", "values": vals, "lats": sel, "lons": lons,
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "gauss_n": N, "nbits": 24}
+    r = grib.read(grib.encode_grib1([rec]))[0]
+    np.testing.assert_allclose(r["lats"], sel, atol=1e-4)
+    # off-grid first latitude is refused, not silently mislocated
+    bad = dict(rec, lats=sel + 0.4)
+    with pytest.raises(ValueError, match="Gaussian grid"):
+        grib.read(grib.encode_grib1([bad]))
+
+
+def test_reduced_gaussian_bitmap_nan():
+    """Bitmap (missing points) on a reduced grid: NaNs land on the right
+    rows after regularization."""
+    N = 8
+    glats, pl, flat = _reduced_fixture(N, dense=True)
+    flat = flat.copy()
+    # void the entire 3rd row -> that regular row must be all-NaN
+    r0 = int(pl[:2].sum())
+    flat[r0:r0 + pl[2]] = np.nan
+    rec = {"shortName": "t2m", "values": flat, "lats": glats,
+           "lons": np.array([0.0, 360.0 * (1 - 1 / pl.max())]),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "pl": pl, "gauss_n": N, "nbits": 24}
+    r = grib.read(grib.encode_grib1([rec]))[0]
+    assert np.isnan(r["values"][2]).all()
+    assert np.isfinite(r["values"][[0, 1, 3]]).all()
