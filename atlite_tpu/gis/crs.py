@@ -646,6 +646,11 @@ def normalize_crs(crs):
         if any(f"proj={p}" in s
                for p in ("utm", "tmerc", "lcc", "stere", "ob_tran")):
             return _proj_dict_key(_parse_proj4(s))
+        if "proj=" in s:
+            # out-of-family proj4 string: opaque key served by the system
+            # PROJ host fallback (the reference accepts ANY pyproj CRS,
+            # gis.py:87-101; device paths still require a native family)
+            return ("proj4", " ".join(crs.split()))
         return int(s)
     if hasattr(crs, "to_epsg"):
         return crs.to_epsg()
@@ -733,13 +738,127 @@ def _proj_dict_key(d):
             float(d.get("lat_0", 0.0)), ellps, datum)
 
 
+# ---------------------------------------------------------------------------
+# system-PROJ host fallback (general CRSs)
+# ---------------------------------------------------------------------------
+# The reference handles ANY pyproj CRS (/root/reference/atlite/gis.py:87-101).
+# CRSs outside the native closed-form families are transformed on the host
+# by batching points through the installed PROJ's cs2cs (9.1.1 on this
+# image — the same binary the repo's CRS goldens are pinned against,
+# tests/test_crs_proj_goldens.py).  Device (jit) paths keep requiring a
+# native family: a subprocess cannot run under jit.
+_LONLAT_P4 = "+proj=longlat +datum=WGS84 +no_defs"
+_SYSTEM_P4_CACHE = {}
+
+
+def _system_proj4(key):
+    """A proj4 string for a normalized key that the native families do not
+    cover, resolved through the system PROJ database; None if unknown."""
+    if key in _SYSTEM_P4_CACHE:
+        return _SYSTEM_P4_CACHE[key]
+    import shutil
+    import subprocess
+
+    p4 = None
+    if isinstance(key, tuple) and len(key) == 2 and key[0] == "proj4":
+        p4 = key[1]
+    elif isinstance(key, int):
+        exe = shutil.which("projinfo")
+        if exe is not None:
+            try:
+                r = subprocess.run(
+                    [exe, "-o", "PROJ", "-q", f"EPSG:{key}"],
+                    capture_output=True, text=True, timeout=30)
+                if r.returncode == 0:
+                    for line in r.stdout.splitlines():
+                        line = line.strip()
+                        if line.startswith("+proj"):
+                            p4 = line
+                            break
+            except (OSError, subprocess.TimeoutExpired):
+                p4 = None
+    _SYSTEM_P4_CACHE[key] = p4
+    return p4
+
+
+def _cs2cs_batch(x, y, src_p4, dst_p4):
+    """Transform point arrays with one cs2cs subprocess call (proj4-string
+    CRSs -> traditional lon/lat axis order, no EPSG axis-order surprises).
+    Failed points come back NaN (matching pyproj's errcheck=False)."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("cs2cs")
+    if exe is None:
+        raise NotImplementedError(
+            "general-CRS transform needs the system PROJ (cs2cs not found)")
+    xa = np.asarray(x, dtype=float)
+    ya = np.asarray(y, dtype=float)
+    xa, ya = np.broadcast_arrays(xa, ya)
+    shape = xa.shape
+    inp = "\n".join(f"{xi:.12f} {yi:.12f}"
+                    for xi, yi in zip(xa.ravel(), ya.ravel()))
+    r = subprocess.run(
+        [exe, "-f", "%.10f", *src_p4.split(), "+to", *dst_p4.split()],
+        input=inp, capture_output=True, text=True, timeout=600)
+    if r.returncode != 0:
+        raise NotImplementedError(
+            f"cs2cs failed for {src_p4!r} -> {dst_p4!r}: "
+            f"{r.stderr.strip()[:200]}")
+    ox = np.full(xa.size, np.nan)
+    oy = np.full(xa.size, np.nan)
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    if len(lines) != xa.size:
+        raise ValueError(f"cs2cs returned {len(lines)} points, "
+                         f"expected {xa.size}")
+    for i, ln in enumerate(lines):
+        parts = ln.split()
+        try:
+            ox[i] = float(parts[0])
+            oy[i] = float(parts[1])
+        except (ValueError, IndexError):
+            pass  # '*' markers for untransformable points -> NaN
+    return ox.reshape(shape), oy.reshape(shape)
+
+
+def _transform_points_system(x, y, src, dst):
+    """Mixed native/system-PROJ transform via lon/lat."""
+    xa = np.asarray(x, dtype=float)
+    ya = np.asarray(y, dtype=float)
+    if _resolve(src):
+        if _INVERSE[src] is not None:
+            xa, ya = _INVERSE[src](xa, ya)
+        xa, ya = np.asarray(xa, float), np.asarray(ya, float)
+    else:
+        p4 = _system_proj4(src)
+        if p4 is None:
+            raise NotImplementedError(f"CRS {src} not supported (not a "
+                                      "native family, system PROJ cannot "
+                                      "resolve it)")
+        xa, ya = _cs2cs_batch(xa, ya, p4, _LONLAT_P4)
+    if _resolve(dst):
+        if _FORWARD[dst] is not None:
+            xa, ya = _FORWARD[dst](xa, ya)
+        xa, ya = np.asarray(xa, float), np.asarray(ya, float)
+    else:
+        p4 = _system_proj4(dst)
+        if p4 is None:
+            raise NotImplementedError(f"CRS {dst} not supported (not a "
+                                      "native family, system PROJ cannot "
+                                      "resolve it)")
+        xa, ya = _cs2cs_batch(xa, ya, _LONLAT_P4, p4)
+    return xa, ya
+
+
 def transform_points(x, y, src, dst):
-    """Transform coordinate arrays between supported CRSs (via lon/lat)."""
+    """Transform coordinate arrays between CRSs (via lon/lat).  Native
+    closed-form families run in-process (and under jit through
+    transform_points_xp); anything else falls back to the system PROJ."""
     src, dst = normalize_crs(src), normalize_crs(dst)
     if src == dst:
         return np.asarray(x, dtype=float), np.asarray(y, dtype=float)
     if not _resolve(src) or not _resolve(dst):
-        raise NotImplementedError(f"CRS transform {src} -> {dst} not supported")
+        return _transform_points_system(x, y, src, dst)
     if _INVERSE[src] is not None:
         x, y = _INVERSE[src](x, y)
     if _FORWARD[dst] is not None:
@@ -755,7 +874,9 @@ def transform_points_xp(x, y, src, dst, xp):
     if src == dst:
         return x, y
     if not _resolve(src) or not _resolve(dst):
-        raise NotImplementedError(f"CRS transform {src} -> {dst} not supported")
+        raise NotImplementedError(
+            f"CRS transform {src} -> {dst} has no native closed form for "
+            "the device path (host paths fall back to the system PROJ)")
     if _INVERSE[src] is not None:
         x, y = _INVERSE[src](x, y, xp)
     if _FORWARD[dst] is not None:

@@ -284,7 +284,8 @@ def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
     """
     import pandas as pd
 
-    if backend == "auto":
+    auto_backend = backend == "auto"
+    if auto_backend:
         try:
             import jax
 
@@ -304,10 +305,18 @@ def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
     if backend == "device":
         from atlite_tpu.gis.kernels import availability_matrix_device
 
-        availability = availability_matrix_device(
-            cutout, geom_list, excluder, shapes_crs=shapes_crs
-        )
-    elif backend == "host":
+        try:
+            availability = availability_matrix_device(
+                cutout, geom_list, excluder, shapes_crs=shapes_crs
+            )
+        except NotImplementedError:
+            if not auto_backend:
+                raise
+            # a CRS outside the native closed-form families: the device
+            # kernels cannot express it under jit, but the host path can
+            # (system-PROJ fallback in gis/crs.py)
+            backend = "host"
+    if backend == "host":
         availability = []
         for geom in geom_list:
             avail, _ = shape_availability_reprojected(
@@ -318,7 +327,7 @@ def compute_availabilitymatrix(cutout, shapes, excluder, nprocesses=None,
         # the fine mask was computed on the top-down raster; flip to the
         # ascending-y cutout order (gis.py:707-716, 758)
         availability = np.stack(availability)[:, ::-1]
-    else:
+    elif backend != "device":
         raise ValueError(f"unknown backend {backend!r}")
     return DataArray(
         availability,

@@ -159,7 +159,45 @@ def test_utm_under_jit_device_path():
     assert abs(float(y[0]) - float(yh[0])) < 1e-6
 
 
+def test_family_less_crs_host_fallback():
+    """EPSG:2056 (Swiss LV95, oblique Mercator) has no native closed-form
+    family — the HOST path now transforms it through the system PROJ
+    (cs2cs batch fallback; reference handles any pyproj CRS,
+    gis.py:87-101), while the DEVICE path still refuses (a subprocess
+    cannot run under jit)."""
+    # Bern is the LV95 projection origin: (2600000, 1200000)
+    x, y = transform_points(np.array([7.438632]), np.array([46.951083]),
+                            4326, 2056)
+    np.testing.assert_allclose(x[0], 2600000.0, atol=0.5)
+    np.testing.assert_allclose(y[0], 1200000.0, atol=0.5)
+    lon, lat = transform_points(x, y, 2056, 4326)
+    np.testing.assert_allclose([lon[0], lat[0]], [7.438632, 46.951083],
+                               atol=1e-6)
+    # raw proj4 string of the same CRS -> same result
+    s = ("+proj=somerc +lat_0=46.9524055555556 +lon_0=7.43958333333333 "
+         "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel "
+         "+towgs84=674.374,15.056,405.346,0,0,0,0 +units=m")
+    x2, y2 = transform_points(np.array([7.438632]), np.array([46.951083]),
+                              4326, s)
+    np.testing.assert_allclose([x2[0], y2[0]], [x[0], y[0]], atol=0.01)
+    # mixed: family-less source, native destination
+    x3, y3 = transform_points(x, y, 2056, 3035)
+    assert np.isfinite([x3[0], y3[0]]).all()
+    # out-of-domain points come back NaN, not an exception
+    ox, oy = transform_points(np.array([7.0, 400.0]),
+                              np.array([46.0, 95.0]), 4326, 2056)
+    assert np.isfinite(ox[0]) and np.isnan(ox[1]) and np.isnan(oy[1])
+
+
 def test_unsupported_crs_still_raises():
-    # 2056 (Swiss LV95, oblique Mercator) is not in the EPSG table
+    import jax.numpy as jnp
+
+    from atlite_tpu.gis.crs import transform_points_xp
+
+    # device path: no native closed form for 2056 -> must refuse
     with pytest.raises(NotImplementedError):
-        transform_points(np.array([0.0]), np.array([0.0]), 4326, 2056)
+        transform_points_xp(jnp.array([0.0]), jnp.array([0.0]),
+                            4326, 2056, jnp)
+    # a code the system PROJ does not know either
+    with pytest.raises(NotImplementedError):
+        transform_points(np.array([0.0]), np.array([0.0]), 4326, 999999)

@@ -312,6 +312,55 @@ def test_availability_matrix_rastered_repro(cutout, raster_3035):
     assert np.isclose(I.sum() * eligible, np.asarray(ds.values).sum(), atol=5)
 
 
+def test_availability_matrix_family_less_crs_matches_3035():
+    """An exclusion raster in EPSG:2056 (no native family — host
+    system-PROJ fallback) yields the same availability as the identical
+    physical mask rastered in EPSG:3035 (VERDICT r3 item 4 done
+    criterion).  The mask is a deterministic 0.2-deg checkerboard sampled
+    at each raster's own pixel centres, so the only difference is
+    projection-boundary pixel attribution."""
+    from atlite_tpu import Cutout
+
+    cut = Cutout(path=None, module="synthetic", x=slice(7.0, 9.0),
+                 y=slice(46.0, 47.0), time="2013-01-01")
+
+    def checker(lon, lat):
+        return ((np.floor(lon / 0.2) + np.floor(lat / 0.2)) % 2).astype(
+            np.int32)
+
+    def build_raster(epsg, res):
+        cx = np.array([7.0, 7.0, 9.0, 9.0])
+        cy = np.array([46.0, 47.0, 46.0, 47.0])
+        px, py = transform_points(cx, cy, 4326, epsg)
+        bounds = (px.min() - 5e3, py.min() - 5e3,
+                  px.max() + 5e3, py.max() + 5e3)
+        transform, shape = padded_transform_and_shape(bounds, res)
+        xs = transform.c + transform.a * (np.arange(shape[1]) + 0.5)
+        ys = transform.f + transform.e * (np.arange(shape[0]) + 0.5)
+        lon, lat = transform_points(
+            np.broadcast_to(xs, (shape[0], shape[1])).ravel(),
+            np.broadcast_to(ys[:, None], (shape[0], shape[1])).ravel(),
+            epsg, 4326)
+        mask = checker(lon, lat).reshape(shape)
+        return Raster(mask, transform, crs=epsg, nodata=255)
+
+    shapes = pd.Series([box(7.1, 46.1, 8.0, 46.9),
+                        box(8.0, 46.1, 8.9, 46.9)]).rename_axis("shape")
+    results = {}
+    for epsg in (3035, 2056):
+        exc = ExclusionContainer(crs=epsg, res=250)
+        exc.add_raster(build_raster(epsg, 250), codes=[1])
+        results[epsg] = np.asarray(
+            cut.availabilitymatrix(shapes, exc, backend="host").values)
+    a, b = results[3035], results[2056]
+    # interior cells: ~50% eligible either way; boundary attribution
+    # differs by O(pixel/tile)
+    assert np.abs(a - b).max() < 0.05
+    covered = a > 0.1
+    assert covered.any()
+    np.testing.assert_allclose(a[covered], b[covered], atol=0.03)
+
+
 # ------------------------------------------------------------------ area
 def test_area_latlon(cutout):
     area = cutout.area()  # in 4326: degrees^2
