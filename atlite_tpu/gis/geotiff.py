@@ -43,8 +43,9 @@ def _sample_dtype(bits, fmt, endian):
     return np.dtype(f"{endian}{kind}{bits // 8}")
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-flavor LZW (MSB-first codes, EarlyChange)."""
+def _lzw_decode(data: bytes, max_out=None) -> bytes:
+    """TIFF-flavor LZW (MSB-first codes, EarlyChange).  ``max_out`` caps
+    the output (bomb protection); the caller validates the final size."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table = None
@@ -89,9 +90,73 @@ def _lzw_decode(data: bytes) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
+        if max_out is not None and len(out) > max_out:
+            return bytes(out)
         # EarlyChange: bump code size one entry early
         if len(table) >= (1 << code_size) - 1 and code_size < 12:
             code_size += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (MSB-first codes, EarlyChange) — the
+    mirror of _lzw_decode; code-size bumps track the decoder's table
+    growth exactly (next_code == (1<<cs)-1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code, cs):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << cs) | code
+        nbits += cs
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh_table()
+    next_code = 258
+    cs = 9
+    emit(CLEAR, cs)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], cs)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags one code behind (it cannot grow on the
+        # first code after CLEAR): it reads at cs+1 bits once ITS length
+        # (= next_code - 1) reaches (1<<cs) - 1
+        if next_code == (1 << cs) and cs < 12:
+            cs += 1
+        if next_code >= 4094:  # table nearly full: restart
+            emit(CLEAR, cs)
+            table = fresh_table()
+            next_code = 258
+            cs = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], cs)
+    emit(EOI, cs)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits with literal runs only (valid, byte-bounded output)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
 
 
 def _packbits_decode(data: bytes) -> bytes:
@@ -111,14 +176,26 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def _decompress(raw, compression, decoded_size):
+    # decoded_size bounds every decoder: a corrupt strip/tile must not
+    # become a decompression bomb (codec trust boundary)
     if compression == 1:
         return raw
     if compression in (8, 32946):  # Deflate / legacy Deflate
-        return zlib.decompress(raw)
+        d = zlib.decompressobj()
+        out = d.decompress(raw, decoded_size + 1)
+        if len(out) > decoded_size:
+            raise ValueError("TIFF strip inflates past its nominal size")
+        return out
     if compression == 5:
-        return _lzw_decode(raw)
+        out = _lzw_decode(raw, max_out=decoded_size + 1)
+        if len(out) > decoded_size:
+            raise ValueError("TIFF strip inflates past its nominal size")
+        return out
     if compression == 32773:
-        return _packbits_decode(raw)
+        out = _packbits_decode(raw)
+        if len(out) > decoded_size + 16:
+            raise ValueError("TIFF strip inflates past its nominal size")
+        return out
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
@@ -131,10 +208,26 @@ def _unpredict(arr, predictor):
 
 
 def read_geotiff(path) -> "Raster":
-    """Read band 1 of a GeoTIFF into a gis.raster.Raster."""
+    """Read band 1 of a GeoTIFF into a gis.raster.Raster.
+
+    Malformed input fails as a clean ValueError (codec trust boundary)."""
+    try:
+        return _read_geotiff(path)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, TypeError, AssertionError, OverflowError,
+            MemoryError, UnicodeDecodeError, ZeroDivisionError,
+            struct.error, zlib.error) as exc:
+        raise ValueError(f"corrupt GeoTIFF: {exc!r}") from exc
+
+
+def _read_geotiff(path) -> "Raster":
     from atlite_tpu.gis.raster import Raster
 
-    data = Path(path).read_bytes()
+    if isinstance(path, (bytes, bytearray)):
+        data = bytes(path)
+    else:
+        data = Path(path).read_bytes()
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -154,6 +247,11 @@ def read_geotiff(path) -> "Raster":
         e = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
         size = _TYPE_SIZES.get(typ, 1) * count
+        if size > len(data):
+            # a corrupt count would otherwise build a multi-GB struct
+            # format string below
+            raise ValueError(
+                f"TIFF tag {tag}: {count} values exceed the file size")
         if size <= 4:
             payload = data[e + 8:e + 8 + size]
         else:
@@ -185,10 +283,16 @@ def read_geotiff(path) -> "Raster":
     predictor = tags.get("Predictor", [1])[0]
     dtype = _sample_dtype(bits, fmt, endian)
     bpp = bits // 8
+    if float(height) * width * bpp > 200.0 * len(data) + 1e7:
+        raise ValueError(
+            f"implausible TIFF dimensions {width}x{height} "
+            f"for a {len(data)}-byte file")
 
     out = np.zeros((height, width), dtype=dtype)
     if "TileOffsets" in tags:
         tw, th = tags["TileWidth"][0], tags["TileLength"][0]
+        if float(tw) * th * bpp > 200.0 * len(data) + 1e7:
+            raise ValueError(f"implausible TIFF tile size {tw}x{th}")
         offs = tags["TileOffsets"]
         cnts = tags["TileByteCounts"]
         tiles_across = -(-width // tw)
@@ -281,6 +385,12 @@ def write_geotiff(raster, path, compression="deflate"):
     if compression == "deflate":
         comp_code = 8
         payload = zlib.compress(payload, 6)
+    elif compression == "lzw":
+        comp_code = 5
+        payload = _lzw_encode(payload)
+    elif compression == "packbits":
+        comp_code = 32773
+        payload = _packbits_encode(payload)
     elif compression in (None, "none"):
         comp_code = 1
     else:

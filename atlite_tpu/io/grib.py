@@ -33,11 +33,17 @@ logger = logging.getLogger(__name__)
 
 def _unpack_bits(buf, nbits, count, bit_offset=0):
     """Unpack `count` big-endian unsigned ints of width nbits."""
+    if count < 0 or count > 100_000_000:
+        raise ValueError(f"implausible GRIB point count {count}")
     if nbits == 0:
         return np.zeros(count, dtype=np.int64)
     a = np.frombuffer(buf, dtype=np.uint8)
     total = bit_offset + nbits * count
     nbytes = (total + 7) // 8
+    if nbytes > len(a):
+        raise ValueError(
+            f"GRIB data section too short: need {nbytes} bytes for "
+            f"{count} x {nbits}-bit values, have {len(a)}")
     a = a[:nbytes]
     bits = np.unpackbits(a)[bit_offset:bit_offset + nbits * count]
     bits = bits.reshape(count, nbits).astype(np.int64)
@@ -127,7 +133,7 @@ def gaussian_latitudes(n_half):
     the published ECMWF tables to ~1e-12 deg; pinned against
     numpy.polynomial.legendre.leggauss in tests/test_grib.py)."""
     n = 2 * int(n_half)
-    if n <= 0:
+    if n <= 0 or n_half > 5000:  # highest real grids are O1280/N640
         raise ValueError(f"bad Gaussian N {n_half}")
     i = np.arange(1, n + 1, dtype=np.float64)
     x = np.cos(np.pi * (i - 0.25) / (n + 0.5))  # north-to-south
@@ -165,6 +171,9 @@ def _reduced_to_regular(flat, pl, lon_start, ni_reg):
     linear interpolation per row, the moral equivalent of what
     eccodes/Metview do when regularizing reduced grids."""
     pl = np.asarray(pl, dtype=np.int64)
+    if len(pl) * ni_reg > 200_000_000:
+        raise ValueError(
+            f"implausible regularized grid {len(pl)}x{ni_reg}")
     out = np.empty((len(pl), ni_reg), dtype=np.float64)
     tfrac = np.arange(ni_reg, dtype=np.float64) / ni_reg  # target, turns
     pos = 0
@@ -287,6 +296,8 @@ def _decode_grib1_message(buf, off):
     nbits = buf[pos + 10]
     data_bytes = buf[pos + 11:pos + bds_len]
     ntotal = int(pl.sum()) if pl is not None else ni * nj
+    if ntotal > 100_000_000:
+        raise ValueError(f"implausible GRIB1 grid size {ntotal}")
     npoints = ntotal if bitmap is None else int(bitmap[:ntotal].sum())
     if nbits:
         x = _unpack_bits(data_bytes, nbits, npoints)
@@ -492,6 +503,9 @@ def _decode_grib2_message(buf, off):
             break
         sec_len = int.from_bytes(buf[pos:pos + 4], "big")
         sec_num = buf[pos + 4]
+        if sec_len < 5 or pos + sec_len > end:
+            raise ValueError(
+                f"corrupt GRIB2 section {sec_num} length {sec_len}")
         body = pos + 5
         if sec_num == 1:
             year = int.from_bytes(buf[body + 7:body + 9], "big")
@@ -507,6 +521,9 @@ def _decode_grib2_message(buf, off):
             g = body + 9
             ni = int.from_bytes(buf[g + 16:g + 20], "big")
             nj = int.from_bytes(buf[g + 20:g + 24], "big")
+            if nj > 100_000 or (ni != 0xFFFFFFFF and ni > 100_000) \
+                    or (ni != 0xFFFFFFFF and ni * nj > 100_000_000):
+                raise ValueError(f"implausible GRIB2 grid {ni}x{nj}")
 
             def s32(o):
                 v = int.from_bytes(buf[g + o:g + o + 4], "big")
@@ -537,6 +554,8 @@ def _decode_grib2_message(buf, off):
                          for i in range(nj)], dtype=np.int64)
                     if pl.min() < 1:
                         raise ValueError("GRIB2 PL list with empty rows")
+                    if pl.max() > 100_000 or pl.sum() > 100_000_000:
+                        raise ValueError("implausible GRIB2 PL list")
                     ni = int(pl.max())
                     meta.update(ni=ni, nj=nj, pl=pl, lon1=lon1, lats=lats,
                                 lons=lon1 + 360.0 * np.arange(ni) / ni)
@@ -894,15 +913,28 @@ def read(path_or_bytes):
         pos = buf.find(b"GRIB", pos)
         if pos < 0:
             break
-        edition = buf[pos + 7]
-        if edition == 1:
-            rec, pos = _decode_grib1_message(buf, pos)
-            records.append(rec)
-        elif edition == 2:
-            recs, pos = _decode_grib2_message(buf, pos)
-            records.extend(recs)
-        else:
-            raise NotImplementedError(f"GRIB edition {edition}")
+        try:
+            edition = buf[pos + 7]
+            if edition == 1:
+                rec, next_pos = _decode_grib1_message(buf, pos)
+                records.append(rec)
+            elif edition == 2:
+                recs, next_pos = _decode_grib2_message(buf, pos)
+                records.extend(recs)
+            else:
+                raise NotImplementedError(f"GRIB edition {edition}")
+        except (NotImplementedError, ValueError):
+            raise
+        except (IndexError, KeyError, TypeError, AssertionError, OverflowError,
+                MemoryError, UnicodeDecodeError, struct.error) as exc:
+            # the codec is the framework's outermost trust boundary:
+            # malformed bytes must fail as a clean ValueError, never as a
+            # stray internal exception, hang, or silent misdecode
+            raise ValueError(
+                f"corrupt GRIB message at byte {pos}: {exc!r}") from exc
+        if next_pos <= pos:  # a corrupt total-length field must not loop
+            raise ValueError(f"corrupt GRIB message length at byte {pos}")
+        pos = next_pos
     return records
 
 

@@ -29,8 +29,11 @@ class _F:
     """File wrapper with the whole buffer in memory (cutout-scale files)."""
 
     def __init__(self, path):
-        with open(path, "rb") as fh:
-            self.buf = fh.read()
+        if isinstance(path, (bytes, bytearray)):
+            self.buf = bytes(path)
+        else:
+            with open(path, "rb") as fh:
+                self.buf = fh.read()
 
     def u(self, off, n):
         return int.from_bytes(self.buf[off:off + n], "little")
@@ -179,7 +182,11 @@ def _iter_messages_v2(f, addr):
     pos += size_bytes
     co = 2 if (flags & 0x04) else 0
     blocks = [(pos, chunk0, False)]
+    visited = 0
     while blocks:
+        visited += 1
+        if visited > 10_000:  # corrupt continuation cycle must not hang
+            raise ValueError("object-header continuation cycle")
         pos, size, is_cont = blocks.pop(0)
         end = pos + size
         if is_cont:
@@ -364,6 +371,20 @@ def _group_children(f, addr):
 
 # ---------------------------------------------------------------- datasets
 _FILTER_DEFLATE, _FILTER_SHUFFLE, _FILTER_FLETCHER = 1, 2, 3
+_FILTER_ZSTD = 32015  # registered HDF5 community filter (new-CDS NetCDF4)
+
+
+def _check_alloc(shape, dtype, file_size):
+    """Refuse implausible allocations before np.zeros touches them: a
+    corrupt dataspace/chunk-dims field must raise, not OOM the host
+    (uncompressed data cannot exceed the file by more than the deflate
+    bound; 200x + slack is generous for real cutouts)."""
+    n = float(np.prod(shape, dtype=np.float64)) if shape else 1.0
+    nbytes = n * dtype.itemsize
+    if nbytes > 200.0 * max(file_size, 1) + 1e7:
+        raise ValueError(
+            f"implausible dataset shape {tuple(shape)} ({nbytes:.3g} bytes "
+            f"in a {file_size}-byte file)")
 
 
 def _parse_filters(f, body):
@@ -429,6 +450,7 @@ def _read_dataset(f, addr):
     if dt is None or layout is None:
         raise ValueError("dataset missing datatype/layout")
     dtype = dt.numpy_dtype
+    _check_alloc(shape, dtype, len(f.buf))
     body, msize = layout
     version = f.buf[body]
     if version == 4:
@@ -465,27 +487,49 @@ def _read_dataset(f, addr):
     return arr, attrs, shape
 
 
-def _decode_chunk(raw, filters, dtype, fmask=0):
+def _decode_chunk(raw, filters, dtype, fmask=0, max_out=None):
     # fmask bit i set = filter i was SKIPPED for this chunk (written when
     # a filter declines/fails on one chunk); applying it anyway would
     # zlib-error or silently scramble the block
     filters = [fc for i, fc in enumerate(filters) if not (fmask >> i) & 1]
     for fid, cvals in reversed(filters):
         if fid == _FILTER_DEFLATE:
-            raw = zlib.decompress(raw)
+            if max_out is not None:
+                # bounded inflate: a corrupt chunk must not become a
+                # decompression bomb (the expected size is known from the
+                # chunk dims)
+                d = zlib.decompressobj()
+                out = d.decompress(raw, max_out + 1)
+                if len(out) > max_out or (d.unconsumed_tail
+                                          and len(out) == max_out + 1):
+                    raise ValueError("chunk inflates past its nominal size")
+                raw = out
+            else:
+                raw = zlib.decompress(raw)
         elif fid == _FILTER_SHUFFLE:
             raw = _unshuffle(raw, cvals[0] if cvals else dtype.itemsize)
         elif fid == _FILTER_FLETCHER:
             raw = raw[:-4]
+        elif fid == _FILTER_ZSTD:
+            from atlite_tpu.io import zstd
+
+            raw = zstd.decompress(raw, max_out if max_out is not None
+                                  else 64 * len(raw) + (1 << 20))
         else:
-            raise NotImplementedError(f"filter id {fid}")
+            raise NotImplementedError(
+                f"HDF5 filter id {fid} not supported (have: deflate, "
+                "shuffle, fletcher32, zstd)")
     return raw
 
 
 def _paste_chunks(f, chunks, chunk_dims, shape, dtype, filters):
+    _check_alloc(shape, dtype, len(f.buf))
+    _check_alloc(chunk_dims, dtype, len(f.buf))
+    nominal = int(np.prod(chunk_dims, dtype=np.int64)) * dtype.itemsize
     arr = np.zeros(shape, dtype=dtype)
     for offsets, caddr, csize, fmask in chunks:
-        raw = _decode_chunk(f.b(caddr, csize), filters, dtype, fmask)
+        raw = _decode_chunk(f.b(caddr, csize), filters, dtype, fmask,
+                            max_out=nominal)
         block = np.frombuffer(raw, dtype=dtype).reshape(chunk_dims)
         sel = tuple(slice(o, min(o + c, s))
                     for o, c, s in zip(offsets, chunk_dims, shape))
@@ -606,12 +650,29 @@ def _root_address(f):
     raise NotImplementedError(f"superblock version {version}")
 
 
+_INTERNAL_EXC = (IndexError, KeyError, TypeError, AssertionError, OverflowError,
+                 MemoryError, UnicodeDecodeError, RecursionError,
+                 struct.error, zlib.error)
+
+
 def read(path):
     """Read an HDF5 file's root group.
 
     Returns (datasets, root_attrs): datasets maps name -> (array, attrs,
     shape).  Sub-groups are flattened with '/'-joined names.
+
+    Malformed input fails as a clean ValueError/NotImplementedError (the
+    codec trust boundary), never as a stray internal exception or hang.
     """
+    try:
+        return _read(path)
+    except (ValueError, NotImplementedError):
+        raise
+    except _INTERNAL_EXC as exc:
+        raise ValueError(f"corrupt HDF5 file: {exc!r}") from exc
+
+
+def _read(path):
     f = _F(path)
     root = _root_address(f)
     datasets = {}
@@ -635,7 +696,12 @@ def read(path):
     visit(root, "")
     out = {}
     for name, (addr, _msgs) in datasets.items():
-        out[name] = _read_dataset(f, addr)
+        try:
+            out[name] = _read_dataset(f, addr)
+        except NotImplementedError as exc:
+            # name the dataset: "file uses filter X on dataset Y" beats a
+            # bare filter id when triaging a foreign CDS download
+            raise NotImplementedError(f"dataset {name!r}: {exc}") from exc
     return out, root_attrs, f
 
 
@@ -648,6 +714,15 @@ def read_netcdf4(path):
     them through DIMENSION_LIST (vlen object references resolved through
     the global heap).  Falls back to shape matching when DIMENSION_LIST is
     absent."""
+    try:
+        return _read_netcdf4(path)
+    except (ValueError, NotImplementedError):
+        raise
+    except _INTERNAL_EXC as exc:
+        raise ValueError(f"corrupt NETCDF4 file: {exc!r}") from exc
+
+
+def _read_netcdf4(path):
     raw, root_attrs, f = read(path)
 
     # map object-header address -> dataset name for reference resolution

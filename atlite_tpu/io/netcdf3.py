@@ -89,12 +89,23 @@ def read(path_or_bytes):
     Returns (dims, variables, attrs): ``dims`` maps name->length (record
     dim resolved to its actual length), ``variables`` maps name ->
     (dim_names_tuple, numpy_array, attrs_dict).
-    """
+
+    Malformed input fails as a clean ValueError (codec trust boundary)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             buf = f.read()
+    try:
+        return _read(buf)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, TypeError, AssertionError, OverflowError,
+            MemoryError, UnicodeDecodeError, struct.error) as exc:
+        raise ValueError(f"corrupt NetCDF-3 file: {exc!r}") from exc
+
+
+def _read(buf):
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF classic/64-bit-offset file")
     version = buf[3]
@@ -147,9 +158,15 @@ def read(path_or_bytes):
         dt = _DTYPES[t]
         if dimids and dim_lens[dimids[0]] == 0:  # record variable
             shape[0] = numrecs
-            per_elems = int(np.prod(shape[1:], dtype=np.int64))
+            per_elems = int(np.prod(shape[1:], dtype=np.float64))
             per = _SIZES[t] * per_elems
             stride = recsize
+            if per * max(numrecs, 1) > 2 * len(buf) + 4096:
+                # uncompressed record data must fit the file: a corrupt
+                # dim length cannot be allowed to drive a giant alloc
+                raise ValueError(
+                    f"corrupt NetCDF-3: record variable needs "
+                    f"{per * numrecs} bytes, file has {len(buf)}")
             arr = np.empty(shape, dtype=dt.newbyteorder("="))
             flat = arr.reshape(numrecs, -1)
             for rec in range(numrecs):
