@@ -299,7 +299,7 @@ def _default_chunks(shape, itemsize, target=4 << 20):
 
 
 def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
-                  shuffle=False, chunks=None):
+                  shuffle=False, chunks=None, compression="gzip"):
     """Write a NETCDF4-model HDF5 file.
 
     Same contract as ``netcdf3.write``: ``dims`` maps name->length,
@@ -388,14 +388,22 @@ def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
                 raw = block.tobytes()
                 if shuffle:
                     raw = _shuffle_bytes(raw, arr.itemsize)
-                raw = zlib.compress(raw, complevel)
+                if compression == "zstd":
+                    from atlite_tpu.io import zstd
+
+                    raw = zstd.compress(raw, complevel)
+                elif compression == "gzip":
+                    raw = zlib.compress(raw, complevel)
+                else:
+                    raise ValueError(f"unknown compression {compression!r}")
                 entries.append((offs, buf.alloc(raw), len(raw)))
             btree = _chunk_btree(buf, entries, rank, arr.shape, cdims)
             msgs.append(_msg(0x0005, _FILL_V2_UNDEF_CHUNKED, flags=1))
             filters = []
             if shuffle:
                 filters.append((2, [arr.itemsize]))
-            filters.append((1, [complevel]))
+            filters.append((32015, [complevel]) if compression == "zstd"
+                           else (1, [complevel]))
             fbody = struct.pack("<BB2x4x", 1, len(filters))
             for fid, cvals in filters:
                 fbody += struct.pack("<HHHH", fid, 0, 0, len(cvals))

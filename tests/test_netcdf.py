@@ -263,6 +263,35 @@ def test_hdf5_writer_multilevel_btree_and_snods(tmp_path):
         np.testing.assert_array_equal(v2[n][1], a)
 
 
+def test_hdf5_zstd_filter_roundtrip(tmp_path):
+    """HDF5 filter 32015 (zstd, via the libzstd ctypes binding) decodes —
+    new-CDS NetCDF4 increasingly ships with it (CONFORMANCE residual
+    risk 5); unknown filter ids fail naming the dataset and filter."""
+    from atlite_tpu.io import hdf5, zstd
+    from atlite_tpu.io.hdf5_write import write_netcdf4
+
+    if not zstd.available():
+        pytest.skip("libzstd not present")
+    rng = np.random.default_rng(0)
+    data = rng.random((20, 6, 7)).astype("f4")
+    fn = tmp_path / "z.nc"
+    write_netcdf4(fn, {"t": 20, "y": 6, "x": 7},
+                  {"t": (("t",), np.arange(20.0), {}),
+                   "v": (("t", "y", "x"), data, {})},
+                  {}, compression="zstd", shuffle=True, chunks={"v": (8, 6, 7)})
+    dims, vars_, _ = hdf5.read_netcdf4(fn)
+    np.testing.assert_array_equal(vars_["v"][1], data)
+    # zstd round-trip at the binding level
+    blob = bytes(rng.integers(0, 10, 5000).astype(np.uint8))
+    assert zstd.decompress(zstd.compress(blob, 5), len(blob)) == blob
+    # unknown filter id -> clean error naming dataset + filter
+    raw = bytearray(fn.read_bytes())
+    idx = raw.find((32015).to_bytes(2, "little"))
+    raw[idx:idx + 2] = (31900).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="dataset 'v'.*31900"):
+        hdf5.read_netcdf4(bytes(raw))
+
+
 # --------------------------------------------------------- Cutout interop
 def test_cutout_nc_roundtrip_and_convert(tmp_path):
     c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
