@@ -184,6 +184,14 @@ def _block_cells_crosscrs(edges, emask, px, py_blk, excl_blk, inv_affine,
     return num, cnt, dropped
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _unpack_mask_device(packed, n):
+    """np.packbits mirror on device: (bytes,) uint8 -> (n,) bool via
+    elementwise shifts (no gathers)."""
+    bits = (packed[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+    return bits.reshape(-1)[:n].astype(jnp.bool_)
+
+
 def availability_matrix_device(cutout, shapes_geoms, excluder,
                                shapes_crs=4326, row_tile=64,
                                max_device_pixels=64_000_000, mesh=None):
@@ -250,7 +258,12 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         from atlite_tpu.gis.exclusion import build_exclusion_mask
 
         exclusions = build_exclusion_mask(excluder, transform, (ny, nx))
-        excl_dev = jnp.asarray(exclusions)
+        # ship the mask as PACKED BITS (8x less wire traffic — the mask
+        # upload dominates the cold call through the relay, PERF.md) and
+        # unpack on device with elementwise shifts
+        packed = np.packbits(exclusions)  # big-endian bit order
+        excl_dev = _unpack_mask_device(
+            jnp.asarray(packed), ny * nx).reshape(ny, nx)
         excluder._fine_mask_cache = (cache_key, excl_dev)
 
     # device: batched rasterization of the query shapes

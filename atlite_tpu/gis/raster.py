@@ -334,6 +334,26 @@ def reproject_nearest(src: Raster, dst_transform, dst_crs, dst_shape,
                 out[sr0 - r0:sr1 - r0, sc0 - c0:sc1 - c0] = \
                     np.asarray(src.data)[sr0:sr1, sc0:sc1]
             return out
+    if (normalize_crs(src.crs) == normalize_crs(dst_crs)
+            and st.b == 0 and st.d == 0 and dt.b == 0 and dt.d == 0):
+        # separable fast path (any pixel-size ratio): with both lattices
+        # axis-aligned in the same CRS, the nearest source column depends
+        # only on the destination column and likewise for rows — two 1-D
+        # index arrays replace the meshgrid + 2-D gather over every
+        # destination pixel (the availability COLD-path hot spot,
+        # PERF.md "remaining levers" 3)
+        inv = st.inverse
+        x = dt.a * (np.arange(cols) + 0.5) + dt.c
+        y = dt.e * (np.arange(rows) + 0.5) + dt.f
+        ci = np.floor(inv.a * x + inv.c).astype(np.int64)
+        ri = np.floor(inv.e * y + inv.f).astype(np.int64)
+        okc = (ci >= 0) & (ci < src.shape[1])
+        okr = (ri >= 0) & (ri < src.shape[0])
+        out = np.full(dst_shape, nodata, dtype=np.asarray(src.data).dtype)
+        if okr.any() and okc.any():
+            out[np.ix_(okr, okc)] = \
+                np.asarray(src.data)[ri[okr]][:, ci[okc]]
+        return out
     cc, rr = np.meshgrid(np.arange(cols) + 0.5, np.arange(rows) + 0.5)
     x = dst_transform.a * cc + dst_transform.b * rr + dst_transform.c
     y = dst_transform.d * cc + dst_transform.e * rr + dst_transform.f

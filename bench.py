@@ -113,6 +113,54 @@ def bench_availability():
     return round(npix / dt / 1e6, 1), round(max_diff, 6)
 
 
+def bench_availability_cold():
+    """PERF.md production workload: 12 shapes, 100 m EPSG:3035 exclusion
+    raster over the (-4..1.5, 56..62) cutout — 41 Mpix fine lattice,
+    cross-CRS downsample.  cold = fresh excluder (host mask build +
+    packed-bit upload), warm = excluder fine-mask cached on device.
+    The raster origin is deliberately NOT res-aligned so the separable
+    nearest-sampling fast path (not the slice path) is what cold
+    measures."""
+    from atlite_tpu import Cutout, ExclusionContainer
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.crs import transform_points
+    from atlite_tpu.gis.geometry import box
+    from atlite_tpu.gis.kernels import availability_matrix_device
+    from atlite_tpu.gis.raster import Raster
+
+    cutout = Cutout(path=None, module="synthetic", bounds=(-4, 56, 1.5, 62),
+                    time="2013-01-01")
+    xs, ys = transform_points(np.array([-4.0, -4.0, 1.5, 1.5]),
+                              np.array([56.0, 62.0, 56.0, 62.0]), 4326, 3035)
+    x0 = xs.min() - 5e3 - 37.0  # misaligned origin on purpose
+    y1 = ys.max() + 5e3 + 37.0
+    RX = int((xs.max() - xs.min() + 1e4) / 100) + 2
+    RY = int((ys.max() - ys.min() + 1e4) / 100) + 2
+    rng = np.random.default_rng(0)
+    data = rng.integers(1, 6, (RY, RX)).astype(np.uint8)
+    raster = Raster(data, Affine(100, 0, x0, 0, -100, y1), 3035, 255)
+    gx = np.linspace(-4, 0.5, 5)
+    gy = np.linspace(56, 61, 4)
+    shapes = [box(x, y, x + 1.2, y + 1.3)
+              for x in gx[:4] for y in gy[:3]][:12]
+
+    def new_exc():
+        exc = ExclusionContainer(3035, res=100)
+        exc.add_raster(raster, codes=[4, 5])
+        return exc
+
+    exc = new_exc()
+    out = np.asarray(availability_matrix_device(cutout, shapes, exc))
+    assert np.isfinite(out).all()
+    t0 = time.perf_counter()
+    availability_matrix_device(cutout, shapes, exc)  # device-cached mask
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    availability_matrix_device(cutout, shapes, new_exc())  # cold excluder
+    cold = time.perf_counter() - t0
+    return round(cold, 2), round(warm, 2)
+
+
 def bench_banded_agg():
     """Large-matrix (beyond-dense-limit) aggregation: banded spmm ms/step."""
     import jax
@@ -206,24 +254,32 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
 
         def timed(**extra):
             best = np.inf
+            vals = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 out = c.wind(**kwargs, **extra)
                 # np result: already synced by the host concatenation
-                assert np.isfinite(np.asarray(out.values)).all()
+                vals = np.asarray(out.values)
+                assert np.isfinite(vals).all()
                 best = min(best, time.perf_counter() - t0)
-            return best
+            return best, vals
 
         # streamed: chunks staged from the mmap'd store (background-thread
         # double buffering) with the bus aggregation fused per chunk so
         # only (B, T_chunk) series read back (convert._chunked_convert)
         timed(time_chunk=time_chunk)  # warm-up (compile + page cache)
-        stream_secs = timed(time_chunk=time_chunk)
+        stream_secs, stream_vals = timed(time_chunk=time_chunk)
 
         # resident: all fields pre-staged to HBM (fields() device cache)
         c.fields()
         timed(time_chunk=0)
-        resident_secs = timed(time_chunk=0)
+        resident_secs, resident_vals = timed(time_chunk=0)
+
+        # on-TPU value equality: the CPU tests pin chunked==full
+        # (tests/test_convert.py), but TPU f32 semantics only show here
+        sv_maxdiff = float(np.abs(stream_vals - resident_vals).max())
+        assert sv_maxdiff < 1e-4, (
+            f"streamed diverged from resident by {sv_maxdiff}")
 
         # raw host->device bandwidth AT THE STREAMER'S TRANSFER SIZE: the
         # relay's device_put rate is size-dependent (~25 MB/s at 2 MB,
@@ -269,6 +325,7 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
             "stream_effective_MBps": round(streamed_mb / stream_secs, 1),
             "link_raw_MBps": round(raw_mbps, 1),
             "link_utilization": round(streamed_mb / stream_secs / raw_mbps, 2),
+            "streamed_vs_resident_maxdiff": round(sv_maxdiff, 8),
             "shape": f"{T}x{Y}x{X}", "time_chunk": time_chunk,
         }
     finally:
@@ -389,20 +446,36 @@ def main():
     float(run1(*args))
     float(run2(*args))
     _stage("timing step")
+
     # headline = difference of the two runs' BEST times (robust to relay
     # RTT noise, which can exceed the short run's compute entirely);
     # paired per-repeat estimates are recorded so the noise floor is
     # visible in the JSON instead of silently moving the headline
-    t1s, t2s, samples = [], [], []
-    for _ in range(5):
-        t1 = timed_once(run1)
-        t2 = timed_once(run2)
-        t1s.append(t1)
-        t2s.append(t2)
-        samples.append((t2 - t1) / (n2 - n1))
-    device_secs = (min(t2s) - min(t1s)) / (n2 - n1)
-    spread_pct = round(
-        100.0 * (max(samples) - min(samples)) / abs(device_secs), 1)
+    def time_block():
+        t1s, t2s, samples = [], [], []
+        for _ in range(5):
+            t1 = timed_once(run1)
+            t2 = timed_once(run2)
+            t1s.append(t1)
+            t2s.append(t2)
+            samples.append((t2 - t1) / (n2 - n1))
+        secs = (min(t2s) - min(t1s)) / (n2 - n1)
+        spread = round(100.0 * (max(samples) - min(samples)) / abs(secs), 1)
+        return secs, spread, samples
+
+    # a paired-sample spread beyond 50% marks a degraded relay session
+    # (round-3 verdict: a 250% spread produced a headline at the bottom of
+    # the documented band) — retry the whole block once and take the run
+    # with the tighter spread; if it persists, stamp the JSON so the docs
+    # never have to explain the number away
+    device_secs, spread_pct, samples = time_block()
+    relay_degraded = False
+    if spread_pct > 50.0 and time_left() > 120:
+        _stage(f"relay spread {spread_pct}% > 50%: retrying timing block")
+        secs2, spread2, samples2 = time_block()
+        if spread2 < spread_pct:
+            device_secs, spread_pct, samples = secs2, spread2, samples2
+        relay_degraded = spread_pct > 50.0
 
     cell_hours = T * Y * X
     throughput = cell_hours / device_secs
@@ -418,6 +491,7 @@ def main():
         "device_secs_per_step": round(device_secs, 6),
         "device_secs_samples": [round(x, 6) for x in samples],
         "spread_pct": spread_pct,
+        "relay_degraded": relay_degraded,
         "baseline_secs_per_step": round(base_secs, 4),
         "device": str(jax.devices()[0]),
     })
@@ -445,6 +519,11 @@ def main():
         RESULT["detail"]["banded_agg_ms"] = banded_ms
         RESULT["detail"]["banded_agg_shape"] = banded_shape
 
+    def _avail_cold():
+        cold, warm = bench_availability_cold()
+        RESULT["detail"]["availability_cold_s"] = cold
+        RESULT["detail"]["availability_warm_s"] = warm
+
     def _streamed():
         if size == "small":
             RESULT["detail"]["streamed_fullyear"] = bench_streamed(
@@ -455,6 +534,7 @@ def main():
     maybe("availability", 45, _avail)
     maybe("banded_agg", 45, _banded)
     maybe("streamed_fullyear", 90, _streamed)
+    maybe("availability_cold", 60, _avail_cold)
     _stage("done")
     _emit_and_exit(0)
 

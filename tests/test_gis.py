@@ -312,6 +312,34 @@ def test_availability_matrix_rastered_repro(cutout, raster_3035):
     assert np.isclose(I.sum() * eligible, np.asarray(ds.values).sum(), atol=5)
 
 
+def test_reproject_nearest_separable_matches_bruteforce():
+    """The axis-aligned same-CRS separable fast path (cold-availability
+    optimization) must index-match the per-pixel definition: destination
+    center -> floor of source inverse-affine — any res ratio, misaligned
+    origins, out-of-range rows/cols filled with nodata."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.raster import Raster, reproject_nearest
+
+    rng = np.random.default_rng(0)
+    src = Raster(rng.integers(0, 7, (33, 29)).astype(np.int16),
+                 Affine(130.0, 0, 1037.0, 0, -130.0, 9020.0), 3035, 255)
+    dst_t = Affine(100.0, 0, 900.0, 0, -100.0, 9100.0)  # res mismatch
+    rows, cols = 51, 47
+    out = reproject_nearest(src, dst_t, 3035, (rows, cols), nodata=255)
+    # brute-force oracle
+    inv = src.transform.inverse
+    oracle = np.full((rows, cols), 255, dtype=np.int16)
+    for r in range(rows):
+        for c in range(cols):
+            x = dst_t.a * (c + 0.5) + dst_t.c
+            y = dst_t.e * (r + 0.5) + dst_t.f
+            ci = int(np.floor(inv.a * x + inv.c))
+            ri = int(np.floor(inv.e * y + inv.f))
+            if 0 <= ci < 29 and 0 <= ri < 33:
+                oracle[r, c] = src.data[ri, ci]
+    np.testing.assert_array_equal(out, oracle)
+
+
 def test_availability_matrix_family_less_crs_matches_3035():
     """An exclusion raster in EPSG:2056 (no native family — host
     system-PROJ fallback) yields the same availability as the identical

@@ -164,3 +164,17 @@ def test_sharded_cutout_aggregation(cutout):
     finally:
         cutout.unshard()
     np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_bench_multichip_harness_mechanics():
+    """bench_multichip.py (the one-command scaling measurement for real
+    hardware) runs end-to-end on the virtual mesh: sharded step + banded
+    aggregation at 1 and 2 chips, sane throughput numbers."""
+    import bench_multichip as bm
+
+    thru1, secs1 = bm.bench_step_at_size(1, T=32, Y=16, X=32, B=4, repeats=1)
+    thru2, secs2 = bm.bench_step_at_size(2, T=32, Y=16, X=32, B=4, repeats=1)
+    assert thru1 > 0 and thru2 > 0 and np.isfinite([secs1, secs2]).all()
+    ms1 = bm.bench_banded_at_size(1, T=32, Y=16, X=32, B=4, repeats=1)
+    ms2 = bm.bench_banded_at_size(2, T=32, Y=16, X=32, B=4, repeats=1)
+    assert ms1 > 0 and ms2 > 0
