@@ -6,13 +6,15 @@ local parameter tables (the reference decodes it through cfgrib/eccodes,
 is handled by atlite_tpu.io.netcdf.  This module implements:
 
 - GRIB1: full decode of the ERA5 subset — PDS with ECMWF local
-  definitions, lat/lon GDS, bitmap section, simple packing with IBM-370
-  32-bit reference floats and sign-magnitude integers — plus an encoder
-  used for test fixtures and offline round-trips.
-- GRIB2: sections 0-8 with grid template 3.0 (regular lat/lon), product
-  template 4.0, data representation 5.0 (simple packing, IEEE ref float)
-  decode + encode, and 5.2/5.3 (complex packing / spatial differencing)
-  decode.
+  definitions, lat/lon + Gaussian GDS (grid type 4, incl. reduced grids
+  with PL lists), bitmap section, simple packing with IBM-370 32-bit
+  reference floats and sign-magnitude integers — plus an encoder used
+  for test fixtures and offline round-trips.
+- GRIB2: sections 0-8 with grid templates 3.0 (regular lat/lon) and
+  3.40 (regular + reduced Gaussian), product templates 4.0/4.8/4.11
+  (+4.1/4.2 prefix), data representation 5.0 (simple packing) and 5.4
+  (raw IEEE) decode + encode, and 5.2/5.3 (complex packing / spatial
+  differencing) decode.
 
 Format layouts follow the public WMO FM 92 GRIB specifications.
 """
@@ -618,6 +620,11 @@ def _decode_grib2_message(buf, off):
             ndata = int.from_bytes(buf[body:body + 4], "big")
             tmpl = int.from_bytes(buf[body + 4:body + 6], "big")
             d = body + 6
+            if tmpl == 4:  # IEEE floating point (grid_ieee), no packing
+                meta.update(ndata=ndata, drs_template=tmpl,
+                            ieee_precision=buf[d])
+                pos += sec_len
+                continue
             ref = struct.unpack(">f", buf[d:d + 4])[0]
             e = _sm16(buf[d + 4:d + 6])
             dec = _sm16(buf[d + 6:d + 8])
@@ -687,14 +694,23 @@ def _decode_grib2_message(buf, off):
 
 def _decode_grib2_data(data, meta):
     n = meta["ndata"]
-    nbits = meta["nbits"]
     tmpl = meta["drs_template"]
-    if tmpl == 0:
-        x = _unpack_bits(data, nbits, n).astype(np.float64)
+    if tmpl == 4:  # IEEE floats, raw (template 5.4 / grid_ieee)
+        prec = meta.get("ieee_precision", 1)
+        dt = {1: ">f4", 2: ">f8"}.get(prec)
+        if dt is None:
+            raise NotImplementedError(f"IEEE precision code {prec}")
+        if n < 0 or n > 100_000_000 or n * np.dtype(dt).itemsize > len(data):
+            raise ValueError("GRIB2 IEEE data section too short")
+        vals = np.frombuffer(data, dtype=dt, count=n).astype(np.float64)
     else:
-        x = _decode_complex(data, meta).astype(np.float64)
-    vals = (meta["ref"] + x * 2.0 ** meta["bin_scale"]) \
-        * 10.0 ** (-meta["dec_scale"])
+        nbits = meta["nbits"]
+        if tmpl == 0:
+            x = _unpack_bits(data, nbits, n).astype(np.float64)
+        else:
+            x = _decode_complex(data, meta).astype(np.float64)
+        vals = (meta["ref"] + x * 2.0 ** meta["bin_scale"]) \
+            * 10.0 ** (-meta["dec_scale"])
     bitmap = meta.get("bitmap")
     if bitmap is not None:
         full = np.full(bitmap.size, np.nan)
@@ -874,18 +890,23 @@ def encode_grib2(records):
             s4[53] = 1
             struct.pack_into(">I", s4, 54, 0)
 
-        s5 = (struct.pack(">IB", 21, 5)
-              + struct.pack(">I", len(x))
-              + struct.pack(">H", 0)
-              + struct.pack(">f", float(ref))
-              + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
+        if rec.get("ieee"):  # template 5.4: raw IEEE f32, no packing
+            s5 = (struct.pack(">IB", 12, 5) + struct.pack(">I", len(flat))
+                  + struct.pack(">H", 4) + bytes([1]))
+            payload = flat.astype(">f4").tobytes()
+        else:
+            s5 = (struct.pack(">IB", 21, 5)
+                  + struct.pack(">I", len(x))
+                  + struct.pack(">H", 0)
+                  + struct.pack(">f", float(ref))
+                  + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
+            payload = _pack_bits(x, nbits)
         if has_bms:
             bits = _pack_bits(mask.ravel().astype(np.int64), 1)
             s6 = struct.pack(">IB", 6 + len(bits), 6) + bytes([0]) + bits
         else:
             s6 = struct.pack(">IB", 6, 6) + bytes([255])
-        packed = _pack_bits(x, nbits)
-        s7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+        s7 = struct.pack(">IB", 5 + len(payload), 7) + payload
 
         body_all = sec1 + bytes(g) + bytes(s4) + s5 + s6 + s7 + b"7777"
         total = 16 + len(body_all)

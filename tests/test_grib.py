@@ -347,3 +347,22 @@ def test_reduced_gaussian_bitmap_nan():
     r = grib.read(grib.encode_grib1([rec]))[0]
     assert np.isnan(r["values"][2]).all()
     assert np.isfinite(r["values"][[0, 1, 3]]).all()
+
+
+def test_grib2_ieee_template_54():
+    """DRS template 5.4 (grid_ieee): raw IEEE f32 values, no packing —
+    a real CDS packing variant; values survive at f32 precision and
+    bitmapped NaNs land correctly."""
+    rng = np.random.default_rng(3)
+    vals = (rng.random((6, 9)) * 40 - 10).astype(np.float32).astype(float)
+    vals[2, 4] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(60, 55, 6), "lons": np.linspace(-4, 4, 9),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "ieee": True}
+    out = grib.read(grib.encode_grib2([rec]))
+    assert len(out) == 1
+    got = out[0]["values"]
+    assert np.isnan(got[2, 4]) and np.isfinite(np.delete(got.ravel(), 2 * 9 + 4)).all()
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(vals),
+                               rtol=1e-7)
