@@ -303,12 +303,18 @@ class Cutout:
         (reference data.py:133-274): per-feature diff-and-resume, then an
         atomic store rewrite.
 
-        ``data_format``, ``compression`` and ``dask_kwargs`` are accepted
-        for reference-signature parity: the .atc store has one (raw-array)
-        format and no dask layer; ``monthly_requests`` /
+        ``compression`` follows the reference's encoding dict (default
+        ``{"zlib": True, "complevel": 9, "shuffle": True}``,
+        data.py:139,245-250) and applies when the cutout persists as a
+        ``.nc`` netCDF4 file; the .atc store has one (raw-array) format.
+        ``data_format`` and ``dask_kwargs`` are accepted for
+        reference-signature parity; ``monthly_requests`` /
         ``concurrent_requests`` forward to retrieval-backed modules
         (datasets/era5.retrieval_times)."""
-        del data_format, compression, dask_kwargs, show_progress
+        del data_format, dask_kwargs, show_progress
+        if compression is None:
+            compression = {"zlib": True, "complevel": 9, "shuffle": True}
+        self._nc_compression = compression
         params.setdefault("monthly_requests", monthly_requests)
         params.setdefault("concurrent_requests", concurrent_requests)
         if tmpdir is None:
@@ -322,7 +328,8 @@ class Cutout:
             tmpdir = mkdtemp(prefix="atlite_tpu_prepare")
             try:
                 return self.prepare(features=features, tmpdir=tmpdir,
-                                    overwrite=overwrite, **params)
+                                    overwrite=overwrite,
+                                    compression=compression, **params)
             finally:
                 rmtree(tmpdir, ignore_errors=True)
         if self.prepared and not overwrite:
@@ -398,18 +405,30 @@ class Cutout:
         else:
             write_store(fn, self.grid_desc, self.data, self.attrs, self.var_attrs)
 
-    def to_netcdf(self, fn, format="NETCDF4"):
+    def to_netcdf(self, fn, format="NETCDF4", compression=None):
         """Write a reference-compatible NetCDF cutout.
 
         The default matches the reference's actual on-disk format —
-        zlib-compressed netCDF4/HDF5 with per-variable complevel-4 deflate
-        encodings (reference data.py:245-261 writes ``{"zlib": True,
-        "complevel": 4}`` via xarray; cutout.py:152 reads it back).
+        zlib-compressed netCDF4/HDF5 with per-variable deflate encodings
+        (reference data.py:139,245-250 applies ``{"zlib": True,
+        "complevel": 9, "shuffle": True}`` via xarray; cutout.py:152
+        reads it back).  ``compression`` takes that same encoding dict
+        (``zlib: False`` stores level-0 deflate); prepare() threads its
+        own ``compression=`` argument through here.
         ``format="NETCDF3_64BIT"`` emits uncompressed CDF-2 instead (for
         consumers without an HDF5 stack)."""
         from atlite_tpu.io.netcdf import write_netcdf
 
         netcdf4 = format.upper().startswith("NETCDF4")
+        if compression is None:
+            compression = getattr(self, "_nc_compression", None)
+        enc_kwargs = {}
+        if netcdf4 and compression:
+            if not compression.get("zlib", True):
+                enc_kwargs["complevel"] = 0
+            else:
+                enc_kwargs["complevel"] = int(compression.get("complevel", 4))
+            enc_kwargs["shuffle"] = bool(compression.get("shuffle", False))
         g = self.grid_desc
         fn = Path(fn)
         dims = {"time": len(g.time), "y": len(g.y), "x": len(g.x)}
@@ -436,7 +455,8 @@ class Cutout:
             elif netcdf4 and isinstance(v, (list, tuple, np.ndarray)):
                 attrs[k] = v
         tmp = fn.with_name(fn.name + ".tmp")
-        write_netcdf(tmp, dims, variables, attrs=attrs, format=format)
+        write_netcdf(tmp, dims, variables, attrs=attrs, format=format,
+                     **enc_kwargs)
         os.replace(tmp, fn)
 
     # ------------------------------------------------------------------ gis

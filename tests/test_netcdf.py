@@ -299,11 +299,14 @@ def test_cutout_nc_roundtrip_and_convert(tmp_path):
     c.prepare()
     fn = tmp_path / "cut.nc"
     c.to_netcdf(fn)
-    # default format IS the reference's: compressed netCDF4/HDF5
+    # default format IS the reference's: compressed netCDF4/HDF5 with the
+    # reference's default prepare encodings ({"zlib": True, "complevel": 9,
+    # "shuffle": True}, reference data.py:139)
     assert fn.read_bytes()[:8] == b"\x89HDF\r\n\x1a\n"
     with h5py.File(fn, "r") as f:
         assert f["wnd100m"].compression == "gzip"
-        assert f["wnd100m"].compression_opts == 4
+        assert f["wnd100m"].compression_opts == 9
+        assert f["wnd100m"].shuffle
     c2 = Cutout(fn)
     assert c2.prepared
     assert c2.shape == c.shape
