@@ -370,7 +370,7 @@ def _group_children(f, addr):
 
 
 # ---------------------------------------------------------------- datasets
-_FILTER_DEFLATE, _FILTER_SHUFFLE, _FILTER_FLETCHER = 1, 2, 3
+_FILTER_DEFLATE, _FILTER_SHUFFLE, _FILTER_FLETCHER, _FILTER_SZIP = 1, 2, 3, 4
 _FILTER_ZSTD = 32015  # registered HDF5 community filter (new-CDS NetCDF4)
 
 
@@ -515,10 +515,16 @@ def _decode_chunk(raw, filters, dtype, fmask=0, max_out=None):
 
             raw = zstd.decompress(raw, max_out if max_out is not None
                                   else 64 * len(raw) + (1 << 20))
+        elif fid == _FILTER_SZIP:
+            from atlite_tpu.io import szip
+
+            raw = szip.decompress(raw, cvals,
+                                  max_out if max_out is not None
+                                  else 64 * len(raw) + (1 << 20))
         else:
             raise NotImplementedError(
                 f"HDF5 filter id {fid} not supported (have: deflate, "
-                "shuffle, fletcher32, zstd)")
+                "shuffle, fletcher32, szip, zstd)")
     return raw
 
 

@@ -292,6 +292,32 @@ def test_hdf5_zstd_filter_roundtrip(tmp_path):
         hdf5.read_netcdf4(bytes(raw))
 
 
+def test_hdf5_szip_filter_vs_h5py(tmp_path):
+    """HDF5 filter 4 (szip via the libsz ctypes binding) decodes
+    libhdf5-written chunks — NN and EC modes, edge chunks, 2-D/3-D;
+    older NCEP/NASA NetCDF4 archives ship with it."""
+    from atlite_tpu.io import hdf5, szip
+
+    if not szip.available():
+        pytest.skip("libsz not present")
+    if not h5py.h5z.filter_avail(4):
+        pytest.skip("h5py lacks szip (no oracle)")
+    rng = np.random.default_rng(0)
+    a = (rng.random((64, 64)) * 1000).astype("i4")
+    b = rng.random((40, 50)).astype("f4")
+    c = rng.random((13, 7, 9)).astype("f8")
+    fn = tmp_path / "sz.h5"
+    with h5py.File(fn, "w") as f:
+        f.create_dataset("a", data=a, chunks=(32, 32), compression="szip")
+        f.create_dataset("b", data=b, chunks=(16, 25), compression="szip",
+                         compression_opts=("ec", 8))
+        f.create_dataset("c", data=c, chunks=(5, 4, 6), compression="szip")
+    out, _, _ = hdf5.read(fn)
+    np.testing.assert_array_equal(out["a"][0], a)
+    np.testing.assert_array_equal(out["b"][0], b)
+    np.testing.assert_array_equal(out["c"][0], c)
+
+
 # --------------------------------------------------------- Cutout interop
 def test_cutout_nc_roundtrip_and_convert(tmp_path):
     c = Cutout(path=None, module="synthetic", x=slice(-3, 0), y=slice(56, 59),
