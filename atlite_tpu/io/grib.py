@@ -12,9 +12,10 @@ is handled by atlite_tpu.io.netcdf.  This module implements:
   for test fixtures and offline round-trips.
 - GRIB2: sections 0-8 with grid templates 3.0 (regular lat/lon) and
   3.40 (regular + reduced Gaussian), product templates 4.0/4.8/4.11
-  (+4.1/4.2 prefix), data representation 5.0 (simple packing) and 5.4
-  (raw IEEE) decode + encode, and 5.2/5.3 (complex packing / spatial
-  differencing) decode.
+  (+4.1/4.2 prefix), data representations 5.0 (simple packing), 5.4
+  (raw IEEE) and 5.42 (CCSDS/AEC via libaec — eccodes' grib_ccsds)
+  decode + encode, and 5.2/5.3 (complex packing / spatial differencing)
+  decode.
 
 Format layouts follow the public WMO FM 92 GRIB specifications.
 """
@@ -631,7 +632,11 @@ def _decode_grib2_message(buf, off):
             nbits = buf[d + 8]
             meta.update(ndata=ndata, drs_template=tmpl, ref=ref,
                         bin_scale=e, dec_scale=dec, nbits=nbits)
-            if tmpl in (2, 3):
+            if tmpl == 42:  # CCSDS/AEC (grib_ccsds, libaec)
+                meta["ccsds_flags"] = buf[d + 9]
+                meta["ccsds_block"] = buf[d + 10]
+                meta["ccsds_rsi"] = int.from_bytes(buf[d + 11:d + 13], "big")
+            elif tmpl in (2, 3):
                 # complex packing descriptors (templates 5.2/5.3)
                 meta["group_split"] = buf[d + 10]
                 meta["missing_mgmt"] = buf[d + 11]
@@ -707,6 +712,21 @@ def _decode_grib2_data(data, meta):
         nbits = meta["nbits"]
         if tmpl == 0:
             x = _unpack_bits(data, nbits, n).astype(np.float64)
+        elif tmpl == 42:  # CCSDS lossless (template 5.42)
+            if n < 0 or n > 100_000_000:
+                raise ValueError(f"implausible CCSDS sample count {n}")
+            if nbits == 0:
+                x = np.zeros(n)
+            else:
+                from atlite_tpu.io import aec as _aec
+
+                raw = _aec.decode(data, n, nbits, meta["ccsds_block"],
+                                  meta["ccsds_rsi"], meta["ccsds_flags"])
+                nbytes = 4 if nbits > 16 else (2 if nbits > 8 else 1)
+                if len(raw) < n * nbytes:
+                    raise ValueError("CCSDS stream decoded short")
+                x = np.frombuffer(raw, dtype=f">u{nbytes}",
+                                  count=n).astype(np.float64)
         else:
             x = _decode_complex(data, meta).astype(np.float64)
         vals = (meta["ref"] + x * 2.0 ** meta["bin_scale"]) \
@@ -894,6 +914,18 @@ def encode_grib2(records):
             s5 = (struct.pack(">IB", 12, 5) + struct.pack(">I", len(flat))
                   + struct.pack(">H", 4) + bytes([1]))
             payload = flat.astype(">f4").tobytes()
+        elif rec.get("ccsds"):  # template 5.42 via libaec (grib_ccsds)
+            from atlite_tpu.io import aec as _aec
+
+            block, rsi = 32, 128
+            aflags = _aec.AEC_DATA_MSB | _aec.AEC_DATA_PREPROCESS
+            nbytes = 4 if nbits > 16 else (2 if nbits > 8 else 1)
+            samples = x.astype(f">u{nbytes}").tobytes()
+            payload = _aec.encode(samples, nbits, block, rsi, aflags)
+            s5 = (struct.pack(">IB", 24, 5) + struct.pack(">I", len(x))
+                  + struct.pack(">H", 42) + struct.pack(">f", float(ref))
+                  + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits])
+                  + bytes([aflags, block]) + struct.pack(">H", rsi))
         else:
             s5 = (struct.pack(">IB", 21, 5)
                   + struct.pack(">I", len(x))

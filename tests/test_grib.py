@@ -366,3 +366,30 @@ def test_grib2_ieee_template_54():
     assert np.isnan(got[2, 4]) and np.isfinite(np.delete(got.ravel(), 2 * 9 + 4)).all()
     np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(vals),
                                rtol=1e-7)
+
+
+def test_grib2_ccsds_template_542():
+    """DRS template 5.42 (CCSDS/AEC via libaec — eccodes' grib_ccsds
+    packing for new CDS products): encode/decode round-trip through the
+    real codec library, bitmap NaNs intact, quantization bounded."""
+    from atlite_tpu.io import aec
+
+    if not aec.available():
+        pytest.skip("libaec not present")
+    rng = np.random.default_rng(4)
+    vals = rng.random((12, 17)) * 40 + 250
+    vals[3, 5] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(60, 49, 12), "lons": np.linspace(-4, 12, 17),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "ccsds": True, "nbits": 16}
+    out = grib.read(grib.encode_grib2([rec]))
+    assert len(out) == 1
+    got = out[0]["values"]
+    assert np.isnan(got[3, 5])
+    m = np.isfinite(vals)
+    np.testing.assert_allclose(got[m], vals[m], atol=40 / (2**16 - 1) * 1.01)
+    # 24-bit (4-byte samples) path
+    rec24 = dict(rec, nbits=24, values=np.nan_to_num(vals, nan=260.0))
+    got24 = grib.read(grib.encode_grib2([rec24]))[0]["values"]
+    np.testing.assert_allclose(got24, rec24["values"], atol=1e-3)
