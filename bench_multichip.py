@@ -49,34 +49,40 @@ def _chained_step(mesh, step, n):
     return run
 
 
-def bench_step_at_size(n_dev, T, Y, X, B, repeats):
-    """Throughput (cell-hours/s) of the sharded step on n_dev chips."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _step_args_on_mesh(mesh, put, T, Y, X, B):
+    """Build and place the step inputs on ``mesh``; ``put(spec, array)``
+    is jax.device_put-with-NamedSharding locally or
+    comm.from_global_numpy across processes."""
+    from jax.sharding import PartitionSpec as P
 
     import __graft_entry__ as ge
-    from atlite_tpu.core.mesh import field_spec, make_mesh, table_spec
+    from atlite_tpu.core.mesh import field_spec, table_spec
 
-    devices = jax.devices()[:n_dev]
-    mesh = make_mesh(devices)
     t_size, x_size = mesh.shape["t"], mesh.shape["x"]
     assert T % t_size == 0 and X % x_size == 0, \
         f"workload {T}x{X} not divisible by mesh {t_size}x{x_size}"
-
     fields, eph, lon, lat, V, POWn, matrix = ge._example_inputs(
         T=T, Y=Y, X=X, B=B, seed=3)
-    fspec = NamedSharding(mesh, field_spec())
-    tspec = NamedSharding(mesh, table_spec())
-    rep = NamedSharding(mesh, P())
-    fields = {k: jax.device_put(v, fspec if np.ndim(v) == 3 else
-                                NamedSharding(mesh, P(None, "x")))
+    fields = {k: put(field_spec() if np.ndim(v) == 3 else P(None, "x"), v)
               for k, v in fields.items()}
-    eph = {k: jax.device_put(v, tspec) for k, v in eph.items()}
-    args = (fields, eph,
-            jax.device_put(lon, NamedSharding(mesh, P("x"))),
-            jax.device_put(lat, rep), jax.device_put(V, rep),
-            jax.device_put(POWn, rep), jax.device_put(matrix, rep))
+    eph = {k: put(table_spec(), v) for k, v in eph.items()}
+    return (fields, eph, put(P("x"), lon), put(P(), lat), put(P(), V),
+            put(P(), POWn), put(P(), matrix))
 
+
+def bench_step_at_size(n_dev, T, Y, X, B, repeats, mesh=None, put=None):
+    """Throughput (cell-hours/s) of the sharded step on n_dev chips (or
+    on a caller-provided process-spanning mesh)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    import __graft_entry__ as ge
+    from atlite_tpu.core.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh(jax.devices()[:n_dev])
+        put = lambda spec, a: jax.device_put(a, NamedSharding(mesh, spec))
+    args = _step_args_on_mesh(mesh, put, T, Y, X, B)
     step = ge._step_fn()
     n1, n2 = 1, 5
     with mesh:
@@ -148,6 +154,84 @@ def bench_banded_at_size(n_dev, T, Y, X, B, repeats):
     return secs * 1e3
 
 
+def run_worker(proc_id, nproc, port, args):
+    """Multi-process mode: one timing pass over the process-spanning
+    global mesh (jax.distributed); process 0 prints the JSON line."""
+    import jax
+
+    from atlite_tpu.core import comm
+
+    comm.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=nproc, process_id=proc_id)
+    mesh = comm.global_mesh()
+    put = lambda spec, a: comm.from_global_numpy(mesh, spec, a)
+    thru, secs = bench_step_at_size(None, args.T, args.Y, args.X, args.B,
+                                    args.repeats, mesh=mesh, put=put)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "metric": "multihost-scaling (process-spanning mesh)",
+            "workload": {"T": args.T, "Y": args.Y, "X": args.X, "B": args.B},
+            "platform": jax.devices()[0].platform,
+            "n_processes": nproc,
+            "n_devices": jax.device_count(),
+            "mesh": dict(mesh.shape),
+            "step_cell_hours_per_s": round(thru, 1),
+            "step_secs": round(secs, 6),
+        }), flush=True)
+
+
+def launch_processes(nproc, args):
+    """Spawn nproc workers over virtual CPU devices (mechanics
+    validation; on real multi-host hardware run one
+    ``bench_multichip.py --worker i N coordinator:port`` per host)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    n_local = max(1, len(jax.devices()) // nproc)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    root = Path(__file__).resolve().parent
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    env["PYTHONPATH"] = str(root) + os.pathsep + env.get("PYTHONPATH", "")
+    logs = [tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+            for _ in range(nproc)]
+    cmd_tail = ["--T", str(args.T), "--Y", str(args.Y), "--X", str(args.X),
+                "--B", str(args.B), "--repeats", str(args.repeats)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(root / "bench_multichip.py"),
+         "--worker", f"{i},{nproc},{port}", *cmd_tail],
+        stdout=logs[i], stderr=subprocess.STDOUT, env=env, cwd=root)
+        for i in range(nproc)]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+        for i, (p, lf) in enumerate(zip(procs, logs)):
+            lf.seek(0)
+            out = lf.read()
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            if i == 0:
+                for line in out.splitlines():
+                    if line.startswith("{"):
+                        print(line, flush=True)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for lf in logs:
+            lf.close()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default=None,
@@ -157,7 +241,21 @@ def main():
     ap.add_argument("--X", type=int, default=128)
     ap.add_argument("--B", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--processes", type=int, default=0,
+                    help="spawn N jax.distributed processes over the "
+                         "visible devices and measure the process-"
+                         "spanning mesh")
+    ap.add_argument("--worker", default=None,
+                    help="internal: i,nproc,port")
     args = ap.parse_args()
+
+    if args.worker:
+        i, nproc, port = args.worker.split(",")
+        run_worker(int(i), int(nproc), port, args)
+        return
+    if args.processes:
+        launch_processes(args.processes, args)
+        return
 
     import jax
 
