@@ -173,3 +173,58 @@ def test_fuzz_geotiff(tmp_path, compression):
     read_geotiff(data)  # well-formed baseline
     _fuzz(data, read_geotiff, np.random.default_rng(9),
           n_truncate=25, n_flip=35, n_field=25)
+
+
+def test_fuzz_native_codec_bindings():
+    """The ctypes-bound native codecs (libzstd, libsz, libaec) must raise
+    clean errors on corrupt streams — never crash the process (a C
+    library fed bad bytes is the sharpest edge of the trust boundary)."""
+    from atlite_tpu.io import aec, szip, zstd
+
+    rng = np.random.default_rng(11)
+
+    def corruptions(blob, n=60):
+        for i in range(n):
+            b = bytearray(blob)
+            if i % 2:
+                yield bytes(b[: int(rng.integers(1, len(blob)))])
+            else:
+                j = int(rng.integers(0, len(blob)))
+                b[j] ^= 1 << int(rng.integers(0, 8))
+                yield bytes(b)
+
+    if zstd.available():
+        frame = zstd.compress(
+            bytes(rng.integers(0, 255, 5000).astype(np.uint8)), 5)
+        for blob in corruptions(frame):
+            try:
+                zstd.decompress(blob, 5000)
+            except OK_ERRORS:
+                pass
+    if aec.available():
+        x = rng.integers(0, 2**16 - 1, 4000).astype(">u2")
+        flags = aec.AEC_DATA_MSB | aec.AEC_DATA_PREPROCESS
+        enc = aec.encode(x.tobytes(), 16, 32, 128, flags)
+        for blob in corruptions(enc):
+            try:
+                aec.decode(blob, 4000, 16, 32, 128, flags)
+            except OK_ERRORS:
+                pass
+    if szip.available():
+        h5py = pytest.importorskip("h5py")
+        if h5py.h5z.filter_avail(4):
+            import tempfile
+            from pathlib import Path
+
+            with tempfile.TemporaryDirectory() as td:
+                fn = Path(td) / "s.h5"
+                with h5py.File(fn, "w") as f:
+                    f.create_dataset(
+                        "a", data=rng.integers(0, 1000, (64, 64)).astype("i4"),
+                        chunks=(32, 32), compression="szip")
+                data = fn.read_bytes()
+            for blob in corruptions(data):
+                try:
+                    hdf5.read(blob)
+                except OK_ERRORS:
+                    pass
