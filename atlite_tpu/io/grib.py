@@ -13,9 +13,9 @@ is handled by atlite_tpu.io.netcdf.  This module implements:
 - GRIB2: sections 0-8 with grid templates 3.0 (regular lat/lon) and
   3.40 (regular + reduced Gaussian), product templates 4.0/4.8/4.11
   (+4.1/4.2 prefix), data representations 5.0 (simple packing), 5.4
-  (raw IEEE) and 5.42 (CCSDS/AEC via libaec — eccodes' grib_ccsds)
-  decode + encode, and 5.2/5.3 (complex packing / spatial differencing)
-  decode.
+  (raw IEEE), 5.41 (PNG packing, Pillow-validated io/png.py) and 5.42
+  (CCSDS/AEC via libaec — eccodes' grib_ccsds) decode + encode, and
+  5.2/5.3 (complex packing / spatial differencing) decode.
 
 Format layouts follow the public WMO FM 92 GRIB specifications.
 """
@@ -636,6 +636,8 @@ def _decode_grib2_message(buf, off):
                 meta["ccsds_flags"] = buf[d + 9]
                 meta["ccsds_block"] = buf[d + 10]
                 meta["ccsds_rsi"] = int.from_bytes(buf[d + 11:d + 13], "big")
+            elif tmpl == 41:  # PNG packing: no extra descriptors
+                pass
             elif tmpl in (2, 3):
                 # complex packing descriptors (templates 5.2/5.3)
                 meta["group_split"] = buf[d + 10]
@@ -712,6 +714,21 @@ def _decode_grib2_data(data, meta):
         nbits = meta["nbits"]
         if tmpl == 0:
             x = _unpack_bits(data, nbits, n).astype(np.float64)
+        elif tmpl == 41:  # PNG packing (template 5.41, eccodes grib_png)
+            from atlite_tpu.io import png as _png
+
+            img = _png.decode(data)
+            h, w, ch = img.shape
+            if img.dtype == np.uint16:  # 16-bit grayscale
+                x = img[:, :, 0].astype(np.float64)
+            else:  # channels carry the sample's bytes big-endian
+                x = np.zeros((h, w), dtype=np.float64)
+                for c in range(ch):
+                    x = x * 256.0 + img[:, :, c].astype(np.float64)
+            x = x.reshape(-1)
+            if x.size < n:
+                raise ValueError("PNG-packed field decoded short")
+            x = x[:n]
         elif tmpl == 42:  # CCSDS lossless (template 5.42)
             if n < 0 or n > 100_000_000:
                 raise ValueError(f"implausible CCSDS sample count {n}")
@@ -914,6 +931,29 @@ def encode_grib2(records):
             s5 = (struct.pack(">IB", 12, 5) + struct.pack(">I", len(flat))
                   + struct.pack(">H", 4) + bytes([1]))
             payload = flat.astype(">f4").tobytes()
+        elif rec.get("png"):  # template 5.41 (grib_png)
+            from atlite_tpu.io import png as _png
+
+            if len(x) == nj * ni and pl is None:
+                hh, ww = nj, ni
+            else:  # bitmapped/reduced: single-scanline image
+                hh, ww = 1, len(x)
+            if nbits <= 8:
+                img = x.astype(np.uint8).reshape(hh, ww, 1)
+            elif nbits <= 16:
+                img = x.astype(np.uint16).reshape(hh, ww, 1)
+            elif nbits <= 24:
+                img = np.stack([(x >> 16) & 0xFF, (x >> 8) & 0xFF,
+                                x & 0xFF], axis=-1) \
+                    .astype(np.uint8).reshape(hh, ww, 3)
+            else:
+                img = np.stack([(x >> 24) & 0xFF, (x >> 16) & 0xFF,
+                                (x >> 8) & 0xFF, x & 0xFF], axis=-1) \
+                    .astype(np.uint8).reshape(hh, ww, 4)
+            payload = _png.encode(img)
+            s5 = (struct.pack(">IB", 21, 5) + struct.pack(">I", len(x))
+                  + struct.pack(">H", 41) + struct.pack(">f", float(ref))
+                  + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
         elif rec.get("ccsds"):  # template 5.42 via libaec (grib_ccsds)
             from atlite_tpu.io import aec as _aec
 

@@ -228,3 +228,24 @@ def test_fuzz_native_codec_bindings():
                     hdf5.read(blob)
                 except OK_ERRORS:
                     pass
+
+
+@pytest.mark.parametrize("packing", ["png", "ccsds", "ieee"])
+def test_fuzz_grib2_alt_packings(packing):
+    """Corruption fuzz over the non-simple GRIB2 packings (5.41 PNG,
+    5.42 CCSDS, 5.4 IEEE)."""
+    if packing == "ccsds":
+        from atlite_tpu.io import aec
+
+        if not aec.available():
+            pytest.skip("libaec not present")
+    rng = np.random.default_rng(12)
+    vals = rng.random((8, 10)) * 30 + 270
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(60, 50, 8), "lons": np.linspace(-4, 3, 10),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "nbits": 16, packing: True}
+    data = grib.encode_grib2([rec])
+    assert len(grib.read(data)) == 1
+    _fuzz(data, grib.read, np.random.default_rng(200),
+          n_truncate=20, n_flip=30, n_field=20)

@@ -393,3 +393,74 @@ def test_grib2_ccsds_template_542():
     rec24 = dict(rec, nbits=24, values=np.nan_to_num(vals, nan=260.0))
     got24 = grib.read(grib.encode_grib2([rec24]))[0]["values"]
     np.testing.assert_allclose(got24, rec24["values"], atol=1e-3)
+
+
+def test_png_codec_vs_pillow():
+    """The minimal PNG codec under template 5.41 matches Pillow in both
+    directions, including hand-crafted scanlines for every filter type."""
+    import io as _io
+    import struct
+    import zlib
+
+    PIL = pytest.importorskip("PIL.Image")
+    from atlite_tpu.io import png
+
+    rng = np.random.default_rng(0)
+    for shape, dt in [((17, 23, 1), np.uint8), ((17, 23, 1), np.uint16),
+                      ((9, 11, 3), np.uint8), ((9, 11, 4), np.uint8)]:
+        a = rng.integers(0, np.iinfo(dt).max, shape).astype(dt)
+        got = np.asarray(PIL.open(_io.BytesIO(png.encode(a))))
+        np.testing.assert_array_equal(
+            got if got.ndim == 3 else got[:, :, None], a)
+    # hand-craft a grayscale PNG using each filter type on its scanline;
+    # our decode must equal Pillow's decode of the same bytes
+    h, w = 5, 13
+    raw_rows = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    recon = raw_rows.astype(np.int32)
+    lines = b""
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = recon[r]
+        prev = recon[r - 1] if r else np.zeros(w, np.int32)
+        enc = np.empty(w, np.int32)
+        for i in range(w):
+            a_ = cur[i - 1] if i else 0
+            b_ = prev[i]
+            c_ = prev[i - 1] if i else 0
+            p = a_ + b_ - c_
+            pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+            paeth = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+            pred = [0, a_, b_, (a_ + b_) // 2, paeth][ftype]
+            enc[i] = (cur[i] - pred) & 0xFF
+        lines += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b \
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    ours = png.decode(blob)[:, :, 0]
+    theirs = np.asarray(PIL.open(_io.BytesIO(blob)))
+    np.testing.assert_array_equal(ours, theirs)
+    np.testing.assert_array_equal(ours, raw_rows)
+
+
+@pytest.mark.parametrize("nbits", [8, 16, 24, 32])
+def test_grib2_png_template_541(nbits):
+    """DRS template 5.41 (PNG packing): round-trip at every channel
+    layout (gray8/gray16/RGB/RGBA), bitmapped NaNs intact."""
+    rng = np.random.default_rng(5)
+    vals = rng.random((11, 13)) * 35 + 250
+    vals[2, 3] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(60, 50, 11), "lons": np.linspace(-4, 8, 13),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "png": True, "nbits": nbits}
+    out = grib.read(grib.encode_grib2([rec]))
+    assert len(out) == 1
+    got = out[0]["values"]
+    assert np.isnan(got[2, 3])
+    m = np.isfinite(vals)
+    np.testing.assert_allclose(got[m], vals[m],
+                               atol=35 / (2**min(nbits, 24) - 1) * 1.01 + 1e-9)
