@@ -796,28 +796,39 @@ def _cs2cs_batch(x, y, src_p4, dst_p4):
     ya = np.asarray(y, dtype=float)
     xa, ya = np.broadcast_arrays(xa, ya)
     shape = xa.shape
-    inp = "\n".join(f"{xi:.12f} {yi:.12f}"
-                    for xi, yi in zip(xa.ravel(), ya.ravel()))
-    r = subprocess.run(
-        [exe, "-f", "%.10f", *src_p4.split(), "+to", *dst_p4.split()],
-        input=inp, capture_output=True, text=True, timeout=600)
-    if r.returncode != 0:
-        raise NotImplementedError(
-            f"cs2cs failed for {src_p4!r} -> {dst_p4!r}: "
-            f"{r.stderr.strip()[:200]}")
-    ox = np.full(xa.size, np.nan)
-    oy = np.full(xa.size, np.nan)
-    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
-    if len(lines) != xa.size:
-        raise ValueError(f"cs2cs returned {len(lines)} points, "
-                         f"expected {xa.size}")
-    for i, ln in enumerate(lines):
-        parts = ln.split()
-        try:
-            ox[i] = float(parts[0])
-            oy[i] = float(parts[1])
-        except (ValueError, IndexError):
-            pass  # '*' markers for untransformable points -> NaN
+    xf, yf = xa.ravel(), ya.ravel()
+    # non-finite inputs must stay NaN: the literal text 'nan' parses as
+    # a coordinate in cs2cs and comes back as bogus FINITE coordinates
+    # (this is how a NaN from a failed first leg survives a mixed
+    # two-subprocess transform as NaN, matching pyproj)
+    finite = np.isfinite(xf) & np.isfinite(yf)
+    xs, ys = xf[finite], yf[finite]
+    ox = np.full(xf.size, np.nan)
+    oy = np.full(yf.size, np.nan)
+    if xs.size:
+        inp = "\n".join(f"{xi:.12f} {yi:.12f}" for xi, yi in zip(xs, ys))
+        r = subprocess.run(
+            [exe, "-f", "%.10f", *src_p4.split(), "+to", *dst_p4.split()],
+            input=inp, capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            raise NotImplementedError(
+                f"cs2cs failed for {src_p4!r} -> {dst_p4!r}: "
+                f"{r.stderr.strip()[:200]}")
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+        if len(lines) != xs.size:
+            raise ValueError(f"cs2cs returned {len(lines)} points, "
+                             f"expected {xs.size}")
+        tx = np.full(xs.size, np.nan)
+        ty = np.full(ys.size, np.nan)
+        for i, ln in enumerate(lines):
+            parts = ln.split()
+            try:
+                tx[i] = float(parts[0])
+                ty[i] = float(parts[1])
+            except (ValueError, IndexError):
+                pass  # '*' markers for untransformable points -> NaN
+        ox[finite] = tx
+        oy[finite] = ty
     return ox.reshape(shape), oy.reshape(shape)
 
 

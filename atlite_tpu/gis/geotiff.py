@@ -283,15 +283,19 @@ def _read_geotiff(path) -> "Raster":
     predictor = tags.get("Predictor", [1])[0]
     dtype = _sample_dtype(bits, fmt, endian)
     bpp = bits // 8
-    if float(height) * width * bpp > 200.0 * len(data) + 1e7:
+    # allocation guard: absolute, NOT a compression-ratio bound — deflate
+    # exceeds 1000:1 on uniform data (e.g. this repo's own mask rasters),
+    # so a ratio test rejects valid files; the bomb being stopped is the
+    # corrupt-dims astronomic alloc
+    if (height > 1_000_000 or width > 1_000_000
+            or float(height) * width * bpp > 8e9):
         raise ValueError(
-            f"implausible TIFF dimensions {width}x{height} "
-            f"for a {len(data)}-byte file")
+            f"implausible TIFF dimensions {width}x{height}x{bpp}B")
 
     out = np.zeros((height, width), dtype=dtype)
     if "TileOffsets" in tags:
         tw, th = tags["TileWidth"][0], tags["TileLength"][0]
-        if float(tw) * th * bpp > 200.0 * len(data) + 1e7:
+        if tw > 1_000_000 or th > 1_000_000 or float(tw) * th * bpp > 8e9:
             raise ValueError(f"implausible TIFF tile size {tw}x{th}")
         offs = tags["TileOffsets"]
         cnts = tags["TileByteCounts"]

@@ -77,10 +77,21 @@ def _run(fn_name, data, out_size, bits_per_sample, block_size, rsi, flags):
     return out.raw[:strm.total_out]
 
 
+def sample_nbytes(bits_per_sample, flags):
+    """Bytes per decoded sample: the eccodes rule (1/2/4) unless the
+    stream's AEC_DATA_3BYTE flag packs 17-24-bit samples into 3 bytes."""
+    if bits_per_sample > 16:
+        if bits_per_sample <= 24 and (flags & AEC_DATA_3BYTE):
+            return 3
+        return 4
+    return 2 if bits_per_sample > 8 else 1
+
+
 def decode(data, nsamples, bits_per_sample, block_size, rsi, flags):
     """Decode a CCSDS stream to ``nsamples`` packed samples; returns the
-    raw sample bytes (1/2/4 bytes per sample per the eccodes rule)."""
-    nbytes = 4 if bits_per_sample > 16 else (2 if bits_per_sample > 8 else 1)
+    raw sample bytes (width per sample_nbytes, byte order per the
+    stream's AEC_DATA_MSB flag — the caller must honor both)."""
+    nbytes = sample_nbytes(bits_per_sample, flags)
     if nsamples < 0 or nsamples > 100_000_000:
         raise ValueError(f"implausible CCSDS sample count {nsamples}")
     return _run("aec_buffer_decode", data, nsamples * nbytes,

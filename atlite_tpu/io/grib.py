@@ -22,6 +22,7 @@ Format layouts follow the public WMO FM 92 GRIB specifications.
 
 from __future__ import annotations
 
+import functools
 import logging
 import struct
 
@@ -134,7 +135,15 @@ def gaussian_latitudes(n_half):
     arcsin of the roots of the Legendre polynomial P_2N, found by Newton
     iteration on the three-term recurrence (float64; N320 values match
     the published ECMWF tables to ~1e-12 deg; pinned against
-    numpy.polynomial.legendre.leggauss in tests/test_grib.py)."""
+    numpy.polynomial.legendre.leggauss in tests/test_grib.py).
+
+    Memoized: ~16 ms per N320 computation x one call per message would
+    dominate a year of reduced-Gaussian GRIB decode."""
+    return _gaussian_latitudes_cached(int(n_half)).copy()
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_latitudes_cached(n_half):
     n = 2 * int(n_half)
     if n <= 0 or n_half > 5000:  # highest real grids are O1280/N640
         raise ValueError(f"bad Gaussian N {n_half}")
@@ -737,13 +746,22 @@ def _decode_grib2_data(data, meta):
             else:
                 from atlite_tpu.io import aec as _aec
 
+                aflags = meta["ccsds_flags"]
                 raw = _aec.decode(data, n, nbits, meta["ccsds_block"],
-                                  meta["ccsds_rsi"], meta["ccsds_flags"])
-                nbytes = 4 if nbits > 16 else (2 if nbits > 8 else 1)
+                                  meta["ccsds_rsi"], aflags)
+                nbytes = _aec.sample_nbytes(nbits, aflags)
                 if len(raw) < n * nbytes:
                     raise ValueError("CCSDS stream decoded short")
-                x = np.frombuffer(raw, dtype=f">u{nbytes}",
-                                  count=n).astype(np.float64)
+                bo = ">" if (aflags & _aec.AEC_DATA_MSB) else "<"
+                if nbytes == 3:  # no 3-byte dtype: widen manually
+                    b = np.frombuffer(raw, dtype=np.uint8,
+                                      count=3 * n).reshape(n, 3)
+                    o = (0, 1, 2) if bo == ">" else (2, 1, 0)
+                    x = (b[:, o[0]].astype(np.float64) * 65536.0
+                         + b[:, o[1]] * 256.0 + b[:, o[2]])
+                else:
+                    x = np.frombuffer(raw, dtype=f"{bo}u{nbytes}",
+                                      count=n).astype(np.float64)
         else:
             x = _decode_complex(data, meta).astype(np.float64)
         vals = (meta["ref"] + x * 2.0 ** meta["bin_scale"]) \
@@ -934,10 +952,15 @@ def encode_grib2(records):
         elif rec.get("png"):  # template 5.41 (grib_png)
             from atlite_tpu.io import png as _png
 
-            if len(x) == nj * ni and pl is None:
+            n_present = len(x)  # ndata: pre-padding count
+            if n_present == nj * ni and pl is None:
                 hh, ww = nj, ni
-            else:  # bitmapped/reduced: single-scanline image
-                hh, ww = 1, len(x)
+            else:  # bitmapped/reduced: near-square image, zero-padded
+                # (a 1xN scanline would trip the decoder's dimension
+                # guards for realistically-sized fields)
+                ww = min(n_present, 16384)
+                hh = -(-n_present // max(ww, 1))
+                x = np.pad(x, (0, hh * ww - n_present))
             if nbits <= 8:
                 img = x.astype(np.uint8).reshape(hh, ww, 1)
             elif nbits <= 16:
@@ -951,7 +974,7 @@ def encode_grib2(records):
                                 (x >> 8) & 0xFF, x & 0xFF], axis=-1) \
                     .astype(np.uint8).reshape(hh, ww, 4)
             payload = _png.encode(img)
-            s5 = (struct.pack(">IB", 21, 5) + struct.pack(">I", len(x))
+            s5 = (struct.pack(">IB", 21, 5) + struct.pack(">I", n_present)
                   + struct.pack(">H", 41) + struct.pack(">f", float(ref))
                   + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
         elif rec.get("ccsds"):  # template 5.42 via libaec (grib_ccsds)

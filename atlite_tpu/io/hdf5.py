@@ -376,12 +376,15 @@ _FILTER_ZSTD = 32015  # registered HDF5 community filter (new-CDS NetCDF4)
 
 def _check_alloc(shape, dtype, file_size):
     """Refuse implausible allocations before np.zeros touches them: a
-    corrupt dataspace/chunk-dims field must raise, not OOM the host
-    (uncompressed data cannot exceed the file by more than the deflate
-    bound; 200x + slack is generous for real cutouts)."""
+    corrupt dataspace/chunk-dims field must raise, not OOM the host.
+    The bound is absolute-with-ratio-slack, NOT a pure compression-ratio
+    test — deflate/zstd exceed 1000:1 on uniform data (land-sea masks,
+    constant layers), so small valid files can legitimately hold much
+    larger datasets; what must be stopped is the astronomic corrupt-dims
+    alloc."""
     n = float(np.prod(shape, dtype=np.float64)) if shape else 1.0
     nbytes = n * dtype.itemsize
-    if nbytes > 200.0 * max(file_size, 1) + 1e7:
+    if nbytes > max(200.0 * max(file_size, 1), 8e9):
         raise ValueError(
             f"implausible dataset shape {tuple(shape)} ({nbytes:.3g} bytes "
             f"in a {file_size}-byte file)")

@@ -322,6 +322,12 @@ def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
         var = variables.get(dname)
         is_coord = (var is not None and len(var[0]) == 1
                     and var[0][0] == dname)
+        if var is not None and not is_coord:
+            # silently phony-scaling the dim would DROP the variable's
+            # data (it shares the dimension's name slot in the group)
+            raise ValueError(
+                f"variable {dname!r} collides with dimension {dname!r} "
+                f"but has dims {tuple(var[0])}; rename one of them")
         if is_coord:
             arr = _encode_array(var[1])
             vattrs = dict(var[2] or {})
@@ -365,7 +371,9 @@ def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
             _msg(0x0001, _dataspace(arr.shape)),
             _msg(0x0003, _encode_dtype(arr.dtype), flags=1),
         ]
-        if arr.ndim == 0 or not cdims:
+        if arr.ndim == 0 or not cdims or arr.size == 0:
+            # contiguous (zero-size arrays especially: zero chunks would
+            # give the chunk b-tree builder nothing to root)
             data_addr = buf.alloc(arr.tobytes())
             msgs.append(_msg(0x0005, _FILL_V2_UNDEF_CONTIG, flags=1))
             msgs.append(_msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr,

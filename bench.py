@@ -469,13 +469,15 @@ def main():
     # with the tighter spread; if it persists, stamp the JSON so the docs
     # never have to explain the number away
     device_secs, spread_pct, samples = time_block()
-    relay_degraded = False
-    if spread_pct > 50.0 and time_left() > 120:
+    relay_degraded = spread_pct > 50.0
+    if relay_degraded and time_left() > 120:
         _stage(f"relay spread {spread_pct}% > 50%: retrying timing block")
         secs2, spread2, samples2 = time_block()
         if spread2 < spread_pct:
             device_secs, spread_pct, samples = secs2, spread2, samples2
         relay_degraded = spread_pct > 50.0
+    # NB: stays True when the budget left no room to retry — a degraded
+    # session must never record an unflagged headline
 
     cell_hours = T * Y * X
     throughput = cell_hours / device_secs

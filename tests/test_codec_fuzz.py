@@ -249,3 +249,30 @@ def test_fuzz_grib2_alt_packings(packing):
     assert len(grib.read(data)) == 1
     _fuzz(data, grib.read, np.random.default_rng(200),
           n_truncate=20, n_flip=30, n_field=20)
+
+
+# ---------------------------------------------------- guard regressions
+def test_alloc_guards_allow_highly_compressible_files(tmp_path):
+    """The allocation guards are absolute bomb-stops, NOT compression-
+    ratio tests: uniform data compresses >1000:1 and such files (mask
+    rasters, constant layers) are valid — including this repo's own
+    round-trips (r4 review finding)."""
+    import h5py
+
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.geotiff import read_geotiff, write_geotiff
+    from atlite_tpu.gis.raster import Raster
+
+    z = np.zeros((4000, 4000), np.uint8)
+    fn = tmp_path / "z.tif"
+    write_geotiff(Raster(z, Affine(0.01, 0, 0, 0, -0.01, 40.0), 4326, 255),
+                  fn, compression="deflate")
+    assert fn.stat().st_size < 100_000  # the ratio IS extreme
+    out = read_geotiff(fn)
+    np.testing.assert_array_equal(out.data, z)
+
+    hf = tmp_path / "z.h5"
+    with h5py.File(hf, "w") as f:
+        f.create_dataset("mask", data=z, compression="gzip")
+    out2, _, _ = hdf5.read(hf)
+    np.testing.assert_array_equal(out2["mask"][0], z)

@@ -187,6 +187,11 @@ def test_family_less_crs_host_fallback():
     ox, oy = transform_points(np.array([7.0, 400.0]),
                               np.array([46.0, 95.0]), 4326, 2056)
     assert np.isfinite(ox[0]) and np.isnan(ox[1]) and np.isnan(oy[1])
+    # NaN INPUTS stay NaN (r4 review: the literal text 'nan' parses as a
+    # coordinate in cs2cs and came back as bogus finite values)
+    ox, oy = transform_points(np.array([7.4, np.nan]),
+                              np.array([46.9, np.nan]), 4326, 2056)
+    assert np.isfinite(ox[0]) and np.isnan(ox[1]) and np.isnan(oy[1])
 
 
 def test_unsupported_crs_still_raises():

@@ -464,3 +464,37 @@ def test_grib2_png_template_541(nbits):
     m = np.isfinite(vals)
     np.testing.assert_allclose(got[m], vals[m],
                                atol=35 / (2**min(nbits, 24) - 1) * 1.01 + 1e-9)
+
+
+def test_grib2_png_large_bitmapped_field():
+    """r4 review finding: bitmapped PNG-packed fields beyond 100k present
+    points must round-trip (the encoder reshapes to a near-square image
+    instead of one over-wide scanline)."""
+    rng = np.random.default_rng(6)
+    vals = rng.random((400, 500)) * 30 + 270
+    vals[0, 0] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(85, 30, 400), "lons": np.linspace(-30, 40, 500),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "png": True, "nbits": 16}
+    got = grib.read(grib.encode_grib2([rec]))[0]["values"]
+    assert np.isnan(got[0, 0])
+    m = np.isfinite(vals)
+    np.testing.assert_allclose(got[m], vals[m], atol=30 / 65535 * 1.01)
+
+
+def test_aec_3byte_flag_roundtrip():
+    """r4 review finding: AEC_DATA_3BYTE streams (17-24-bit samples in 3
+    bytes) must size and frame correctly."""
+    from atlite_tpu.io import aec
+
+    if not aec.available():
+        pytest.skip("libaec not present")
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**20, 3000).astype(np.int64)
+    flags = aec.AEC_DATA_MSB | aec.AEC_DATA_PREPROCESS | aec.AEC_DATA_3BYTE
+    assert aec.sample_nbytes(20, flags) == 3
+    raw = b"".join(int(v).to_bytes(3, "big") for v in x)
+    enc = aec.encode(raw, 20, 32, 128, flags)
+    dec = aec.decode(enc, 3000, 20, 32, 128, flags)
+    assert dec[:len(raw)] == raw

@@ -477,3 +477,23 @@ def test_to_netcdf_roundtrip_keeps_multi_module(tmp_path, cutout):
     c.to_netcdf(fn)
     c2 = Cutout(fn)
     assert list(np.atleast_1d(c2.module)) == ["sarah", "synthetic"]
+
+
+def test_hdf5_writer_zero_length_dim_and_name_collision(tmp_path):
+    """r4 review findings: a zero-length dimension must not hang the
+    chunk b-tree builder, and a variable whose name collides with a
+    dimension (but with different dims) must raise instead of silently
+    dropping its data."""
+    from atlite_tpu.io import hdf5
+    from atlite_tpu.io.hdf5_write import write_netcdf4
+
+    fn = tmp_path / "e.nc"
+    write_netcdf4(fn, {"time": 0, "y": 2, "x": 2},
+                  {"v": (("time", "y", "x"),
+                         np.zeros((0, 2, 2), "f4"), {})}, {})
+    dims, variables, _ = hdf5.read_netcdf4(fn)
+    assert variables["v"][1].shape == (0, 2, 2)
+
+    with pytest.raises(ValueError, match="collides with dimension"):
+        write_netcdf4(tmp_path / "c.nc", {"time": 3, "y": 2, "x": 2},
+                      {"time": (("y", "x"), np.ones((2, 2)), {})}, {})
