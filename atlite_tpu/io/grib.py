@@ -39,6 +39,10 @@ def _unpack_bits(buf, nbits, count, bit_offset=0):
     """Unpack `count` big-endian unsigned ints of width nbits."""
     if count < 0 or count > 100_000_000:
         raise ValueError(f"implausible GRIB point count {count}")
+    if nbits > 32:
+        # real GRIB packing tops out at 24-32 bits; beyond 63 the int64
+        # weights overflow to SILENT zeros — refuse, never misdecode
+        raise ValueError(f"implausible GRIB packing width {nbits} bits")
     if nbits == 0:
         return np.zeros(count, dtype=np.int64)
     a = np.frombuffer(buf, dtype=np.uint8)
@@ -237,8 +241,14 @@ def _decode_grib1_message(buf, off):
         except UnicodeDecodeError:
             pass
     year = (century - 1) * 100 + yy
-    step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0}.get(
-        time_unit, 1.0)
+    # WMO table 4 + ECMWF extensions; an UNKNOWN unit must refuse — a
+    # silent hours default would mislabel valid_time and poison
+    # to_dataset's shared time axis
+    _G1_UNITS = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0,
+                 13: 0.25, 14: 0.5, 254: 1 / 3600}
+    if time_unit not in _G1_UNITS:
+        raise NotImplementedError(f"GRIB1 time unit {time_unit}")
+    step_h = _G1_UNITS[time_unit]
     if tri == 4:  # accumulation over (P1, P2): labelled by interval end
         step = p2 * step_h
     else:
@@ -302,6 +312,11 @@ def _decode_grib1_message(buf, off):
     bds_flags = buf[pos + 3]
     if bds_flags & 0xC0:
         raise NotImplementedError("GRIB1 spherical-harmonic/complex packing")
+    if bds_flags & 0x10:
+        # octet 14 carries additional flag bits (secondary bitmaps,
+        # matrix values): data starts past the extended header — bit-
+        # unpacking from octet 12 would silently misdecode the grid
+        raise NotImplementedError("GRIB1 BDS with additional flag octets")
     unused_bits = bds_flags & 0x0F
     bin_scale = _sm16(buf[pos + 4:pos + 6])
     ref_value = _ibm32_decode(buf[pos + 6:pos + 10])
@@ -590,8 +605,12 @@ def _decode_grib2_message(buf, off):
             lev_type = buf[p + 13]
             lev_scale = buf[p + 14]
             lev_val = int.from_bytes(buf[p + 15:p + 19], "big")
-            step_h = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0,
-                      12: 12.0}.get(unit, 1.0)  # matches the GRIB1 map
+            # WMO table 4.4 (13 = seconds); unknown units refuse like GRIB1
+            _G2_UNITS = {0: 1 / 60, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0,
+                         12: 12.0, 13: 1 / 3600}
+            if unit not in _G2_UNITS:
+                raise NotImplementedError(f"GRIB2 time unit {unit}")
+            step_h = _G2_UNITS[unit]
             if lev_scale == 255 or lev_val == 0xFFFFFFFF:
                 level = 0.0  # "missing" encoding (eccodes surface fields)
             elif lev_scale < 120:
@@ -776,6 +795,12 @@ def _decode_grib2_data(data, meta):
 
 def _decode_complex(data, meta):
     """Complex packing (5.2) and complex + spatial differencing (5.3)."""
+    if meta.get("missing_mgmt", 0) != 0:
+        # missing points are encoded IN-STREAM (all-ones references);
+        # decoding them as data would emit huge finite values silently
+        raise NotImplementedError(
+            "GRIB2 complex packing with missing-value management "
+            f"{meta['missing_mgmt']}")
     n = meta["ndata"]
     pos_bits = 0
     order = 0
@@ -1051,17 +1076,31 @@ def read(path_or_bytes):
         if next_pos <= pos:  # a corrupt total-length field must not loop
             raise ValueError(f"corrupt GRIB message length at byte {pos}")
         pos = next_pos
+    if not records:
+        raise ValueError("no GRIB messages found in input")
     return records
 
 
 def to_dataset(records):
     """Stack records into {shortName: (('time','y','x'), array)} plus
     coords, sorted by valid_time; latitudes normalized ascending."""
+    if not records:
+        raise ValueError("to_dataset: no GRIB records")
     by_var = {}
     for rec in records:
         by_var.setdefault(rec["shortName"], []).append(rec)
     first = records[0]
     lats, lons = first["lats"], first["lons"]
+    for rec in records[1:]:
+        # same-shaped records on a DIFFERENT grid would be silently
+        # mislabeled onto the first record's coordinates
+        if (rec["lats"].shape != lats.shape
+                or rec["lons"].shape != lons.shape
+                or not np.allclose(rec["lats"], lats, atol=1e-6)
+                or not np.allclose(rec["lons"], lons, atol=1e-6)):
+            raise ValueError(
+                "GRIB records span different grids; decode them separately "
+                f"({rec['shortName']} @ {rec['valid_time']})")
     flip = len(lats) > 1 and lats[0] > lats[-1]
     times = sorted({np.datetime64(r["valid_time"], "ns") for r in records})
     t_index = {t: i for i, t in enumerate(times)}

@@ -735,8 +735,10 @@ def _read_netcdf4(path):
     raw, root_attrs, f = read(path)
 
     # map object-header address -> dataset name for reference resolution
+    # (reuse the buffer read() already holds — a second _F would re-read
+    # and double-buffer the whole file)
     addr_of = {}
-    fobj = _F(path)
+    fobj = f
     root = _root_address(fobj)
 
     def visit(addr, prefix):
@@ -744,7 +746,11 @@ def _read_netcdf4(path):
             addr_of[child] = prefix + name
             msgs = list(_object_messages(fobj, child))
             types = {t for t, _, _, _ in msgs}
-            if 0x0011 in types and 0x0003 not in types:
+            # recurse into BOTH group styles (same test as read()'s
+            # visit): scales inside new-style link-message subgroups
+            # must land in addr_of or DIMENSION_LIST refs dangle
+            if 0x0011 in types or (0x0002 in types and 0x0003 not in types) \
+                    or (0x000A in types and 0x0003 not in types):
                 visit(child, prefix + name + "/")
 
     visit(root, "")
@@ -783,11 +789,16 @@ def _read_netcdf4(path):
         else:
             dnames = None
         if dnames is None:
-            # shape-match fallback
-            dnames = tuple(
-                next((dn for dn, ln in dims.items() if ln == s), f"dim_{i}")
-                for i, s in enumerate(shape)
-            )
+            # shape-match fallback; a square variable must not get the
+            # SAME dim twice (each known dim is consumed at most once)
+            used = set()
+            out_names = []
+            for i, s in enumerate(shape):
+                dn = next((d for d, ln in dims.items()
+                           if ln == s and d not in used), f"dim_{i}")
+                used.add(dn)
+                out_names.append(dn)
+            dnames = tuple(out_names)
             for dn, s in zip(dnames, shape):
                 dims.setdefault(dn, s)
         clean = {k: v for k, v in attrs.items()

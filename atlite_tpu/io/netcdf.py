@@ -20,6 +20,11 @@ _EPOCH_UNITS = ("seconds", "minutes", "hours", "days")
 def decode_cf_time(values, units, calendar=None):
     """CF 'X since Y' numeric time -> datetime64[ns] (host-side; device
     code never sees datetimes)."""
+    if calendar is not None and str(calendar).lower() not in (
+            "standard", "gregorian", "proleptic_gregorian"):
+        # 360_day/noleap/julian cannot be represented as datetime64;
+        # silently decoding them drifts days-to-weeks within a year
+        raise NotImplementedError(f"CF calendar {calendar!r}")
     parts = units.split(" since ")
     if len(parts) != 2:
         raise ValueError(f"unsupported time units {units!r}")
@@ -64,9 +69,15 @@ def read_netcdf(path, decode_times=True):
             units = vattrs.get("units")
             if (isinstance(units, str) and " since " in units
                     and np.asarray(arr).dtype.kind in "if"):
-                arr = decode_cf_time(arr, units, vattrs.get("calendar"))
-                vattrs = {k: v for k, v in vattrs.items()
-                          if k not in ("units", "calendar")}
+                try:
+                    arr = decode_cf_time(arr, units, vattrs.get("calendar"))
+                    vattrs = {k: v for k, v in vattrs.items()
+                              if k not in ("units", "calendar")}
+                except NotImplementedError:
+                    # non-representable calendar (e.g. 360_day): keep the
+                    # raw numbers + attrs rather than silently decoding
+                    # them as proleptic-Gregorian or failing the file
+                    pass
             out[name] = (dnames, arr, vattrs)
         variables = out
     return dims, variables, attrs

@@ -263,6 +263,12 @@ def write(path, dims, variables, attrs=None, record_dim=None, version=2):
     for nm in names:
         dnames, arr, vattrs = variables[nm]
         arr = np.asarray(arr)
+        expect = tuple(dims[d] for d in dnames)
+        if tuple(arr.shape) != expect:
+            # a short record array would silently interleave empty bytes
+            # into the record section, corrupting every later variable
+            raise ValueError(f"variable {nm}: shape {arr.shape} does not "
+                             f"match dims {dnames} = {expect}")
         t = _nc_type_of(arr)
         is_rec = bool(dnames) and dnames[0] == record_dim
         per_shape = arr.shape[1:] if is_rec else arr.shape

@@ -498,3 +498,53 @@ def test_aec_3byte_flag_roundtrip():
     enc = aec.encode(raw, 20, 32, 128, flags)
     dec = aec.decode(enc, 3000, 20, 32, 128, flags)
     assert dec[:len(raw)] == raw
+
+
+def test_grib_trust_boundary_refusals():
+    """r4 IO-review findings: silent-misdecode paths must refuse —
+    unknown time units, GRIB1 additional BDS flags, complex packing with
+    missing-value management, >32-bit packing widths, empty input, and
+    mixed-grid to_dataset."""
+    rng = np.random.default_rng(8)
+    vals = rng.random((4, 5)) * 10 + 270
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(52, 50, 4), "lons": np.linspace(0, 4, 5),
+           "valid_time": np.datetime64("2013-01-01T03:00"),
+           "param": (0, 0, 0, 103, 2), "nbits": 16}
+    raw1 = bytearray(grib.encode_grib1([rec]))
+    # GRIB1 time unit octet (PDS octet 18, 0-based file offset 8+17)
+    raw1[8 + 17] = 77
+    with pytest.raises(NotImplementedError, match="time unit"):
+        grib.read(bytes(raw1))
+    # GRIB1 BDS flag bit 0x10 (additional flag octets)
+    raw1 = bytearray(grib.encode_grib1([rec]))
+    bds_off = 8 + 28 + 32  # PDS(28) + GDS(32)
+    raw1[bds_off + 3] |= 0x10
+    with pytest.raises(NotImplementedError, match="additional flag"):
+        grib.read(bytes(raw1))
+    # GRIB2 time unit (section 4, octet 18 -> s4[17])
+    raw2 = bytearray(grib.encode_grib2([rec]))
+    idx = raw2.find(bytes([0, 0, 0, 34, 4]))
+    raw2[idx + 17] = 9  # reserved unit
+    with pytest.raises(NotImplementedError, match="time unit"):
+        grib.read(bytes(raw2))
+    # complex packing with missing-value management
+    from atlite_tpu.io.grib import _decode_complex
+
+    with pytest.raises(NotImplementedError, match="missing-value"):
+        _decode_complex(b"\x00" * 64, {"missing_mgmt": 1, "ndata": 4,
+                                       "drs_template": 2})
+    # >32-bit packing width
+    from atlite_tpu.io.grib import _unpack_bits
+
+    with pytest.raises(ValueError, match="packing width"):
+        _unpack_bits(b"\x00" * 64, 64, 4)
+    # no messages at all
+    with pytest.raises(ValueError, match="no GRIB messages"):
+        grib.read(b"<html>a CDS error document, not gridded bytes</html>")
+    # records on different grids must not share one coordinate set
+    rec2 = dict(rec, lats=np.linspace(42, 40, 4),
+                valid_time=np.datetime64("2013-01-01T04:00"))
+    records = grib.read(grib.encode_grib1([rec]) + grib.encode_grib1([rec2]))
+    with pytest.raises(ValueError, match="different grids"):
+        grib.to_dataset(records)

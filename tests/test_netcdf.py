@@ -497,3 +497,38 @@ def test_hdf5_writer_zero_length_dim_and_name_collision(tmp_path):
     with pytest.raises(ValueError, match="collides with dimension"):
         write_netcdf4(tmp_path / "c.nc", {"time": 3, "y": 2, "x": 2},
                       {"time": (("y", "x"), np.ones((2, 2)), {})}, {})
+
+
+def test_cf_calendar_and_netcdf3_shape_guards(tmp_path):
+    """r4 IO-review findings: non-representable CF calendars stay
+    UNDECODED (raw numbers kept) instead of silently drifting; netcdf3
+    write validates shapes against dims."""
+    from atlite_tpu.io.netcdf import decode_cf_time
+
+    with pytest.raises(NotImplementedError, match="calendar"):
+        decode_cf_time([0.0, 1.0], "days since 2000-01-01", "360_day")
+    fn = tmp_path / "cal.nc"
+    netcdf3.write(fn, {"time": 3},
+                  {"time": (("time",), np.arange(3.0),
+                            {"units": "days since 2000-01-01",
+                             "calendar": "360_day"})})
+    _, vars_, _ = read_netcdf(fn)
+    assert vars_["time"][1].dtype.kind == "f"  # left raw
+    assert vars_["time"][2]["units"] == "days since 2000-01-01"
+
+    with pytest.raises(ValueError, match="does not match dims"):
+        netcdf3.write(tmp_path / "bad.nc", {"t": 10, "y": 2},
+                      {"v": (("t", "y"), np.ones((8, 2)), {})},
+                      record_dim="t")
+
+
+def test_hdf5_netcdf4_square_variable_distinct_dims(tmp_path):
+    """r4 IO-review finding: the shape-match fallback must not assign the
+    same dimension name to both axes of a square variable."""
+    from atlite_tpu.io import hdf5
+
+    with h5py.File(tmp_path / "sq.h5", "w") as f:
+        f.create_dataset("a", data=np.ones((4, 4)))  # no dimension scales
+    dims, variables, _ = hdf5.read_netcdf4(tmp_path / "sq.h5")
+    dn = variables["a"][0]
+    assert len(set(dn)) == 2, dn
