@@ -119,12 +119,7 @@ def laea_inverse(x, y, xp=np):
         )
     beta = xp.where(rho == 0, beta1, beta)
     lam = xp.where(rho == 0, LAEA_LON0, lam)
-    # authalic -> geodetic latitude series (Snyder 3-18)
-    phi = beta + (
-        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * xp.sin(2 * beta)
-        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * xp.sin(4 * beta)
-        + (761 * E2**3 / 45360) * xp.sin(6 * beta)
-    )
+    phi = _authalic_to_geodetic(beta, E2, xp)
     return xp.degrees(lam), xp.degrees(phi)
 
 
@@ -138,12 +133,51 @@ def cea_forward(lon, lat, xp=np):
 
 def cea_inverse(x, y, xp=np):
     beta = xp.arcsin(xp.clip(2 * xp.asarray(y) / (A * _QP), -1, 1))
-    phi = beta + (
-        (E2 / 3 + 31 * E2**2 / 180 + 517 * E2**3 / 5040) * xp.sin(2 * beta)
-        + (23 * E2**2 / 360 + 251 * E2**3 / 3780) * xp.sin(4 * beta)
-        + (761 * E2**3 / 45360) * xp.sin(6 * beta)
-    )
+    phi = _authalic_to_geodetic(beta, E2, xp)
     return xp.degrees(xp.asarray(x) / A), xp.degrees(phi)
+
+
+def make_cea(lat_ts=0.0, lon0=0.0, fe=0.0, fn=0.0, ellps="grs80"):
+    """Parameterized ellipsoidal cylindrical equal-area (Snyder 10-1/10-2
+    with a standard parallel): x = a*k0*(lam-lam0)+fe, y = a*q/(2*k0)+fn,
+    k0 = cos(phi_s)/sqrt(1 - e^2 sin^2 phi_s).  EASE-Grid-family CRSs
+    carry +lat_ts; dropping it puts coordinates hundreds of km off
+    (pinned vs cs2cs in tests/test_crs_proj_goldens.py)."""
+    a, _f, e2, e = _ellps(ellps)
+    phi_s = np.radians(lat_ts)
+    k0 = float(np.cos(phi_s) / np.sqrt(1.0 - e2 * np.sin(phi_s) ** 2))
+    qp = float((1 - e2) * (1 / (1 - e2)
+                           - (1 / (2 * e)) * np.log((1 - e) / (1 + e))))
+
+    def q_of(sinphi, xp):
+        return (1 - e2) * (
+            sinphi / (1 - e2 * sinphi**2)
+            - (1 / (2 * e)) * xp.log((1 - e * sinphi) / (1 + e * sinphi))
+        )
+
+    def fwd(lon, lat, xp=np):
+        lam = xp.radians(xp.asarray(lon) - lon0)
+        phi = xp.radians(lat)
+        return (a * k0 * lam + fe,
+                a * q_of(xp.sin(phi), xp) / (2 * k0) + fn)
+
+    def inv(x, y, xp=np):
+        beta = xp.arcsin(xp.clip(2 * k0 * (xp.asarray(y) - fn) / (a * qp),
+                                 -1, 1))
+        phi = _authalic_to_geodetic(beta, e2, xp)
+        lon = lon0 + xp.degrees((xp.asarray(x) - fe) / (a * k0))
+        return lon, xp.degrees(phi)
+
+    return fwd, inv
+
+
+def _authalic_to_geodetic(beta, e2, xp):
+    """Authalic -> geodetic latitude series (Snyder 3-18)."""
+    return beta + (
+        (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040) * xp.sin(2 * beta)
+        + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * xp.sin(4 * beta)
+        + (761 * e2**3 / 45360) * xp.sin(6 * beta)
+    )
 
 
 def mercator_forward(lon, lat, xp=np):
@@ -291,6 +325,18 @@ def _conformal_t(phi, e, xp):
             / ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
 
 
+
+def _phi_from_t(t, e, xp):
+    """Fixed-point iteration for the conformal latitude inverse phi(t)
+    (Snyder 7-9); 8 rounds reach f64 round-off.  Shared by the LCC and
+    polar-stereographic inverses."""
+    phi = np.pi / 2 - 2 * xp.arctan(t)
+    for _ in range(8):
+        sinphi = xp.sin(phi)
+        phi = np.pi / 2 - 2 * xp.arctan(
+            t * ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+    return phi
+
 def make_lcc(lat1, lat2, lat0, lon0, fe=0.0, fn=0.0, ellps="grs80",
              datum=None):
     """Build an LCC-2SP (forward, inverse) pair."""
@@ -323,13 +369,7 @@ def make_lcc(lat1, lat2, lat0, lon0, fe=0.0, fn=0.0, ellps="grs80",
         rho = sign * xp.sqrt(xs**2 + ys**2)
         theta = xp.arctan2(sign * xs, sign * ys)
         t = (rho / (a * F)) ** (1.0 / n)
-        # fixed-point iteration for phi(t) (Snyder 7-9), 8 rounds reach
-        # f64 round-off
-        phi = np.pi / 2 - 2 * xp.arctan(t)
-        for _ in range(8):
-            sinphi = xp.sin(phi)
-            phi = np.pi / 2 - 2 * xp.arctan(
-                t * ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+        phi = _phi_from_t(t, e, xp)
         return xp.degrees(theta / n) + lon0, xp.degrees(phi)
 
     return _with_datum(fwd, inv, datum)
@@ -367,11 +407,7 @@ def make_polar_stereo(lat_ts, lon0, fe=0.0, fn=0.0, south=False,
         ys = xp.asarray(y, dtype=float) - fn
         rho = xp.sqrt(xs**2 + ys**2)
         t = rho / k
-        phi = np.pi / 2 - 2 * xp.arctan(t)
-        for _ in range(8):
-            sinphi = xp.sin(phi)
-            phi = np.pi / 2 - 2 * xp.arctan(
-                t * ((1 - e * sinphi) / (1 + e * sinphi)) ** (e / 2))
+        phi = _phi_from_t(t, e, xp)
         lam = xp.arctan2(xs, ys) if south else xp.arctan2(xs, -ys)
         return xp.degrees(lam) + lon0, xp.degrees(-phi if south else phi)
 
@@ -602,7 +638,9 @@ def _resolve(key):
             register_projection(key, fwd, inv)
             return True
     if isinstance(key, tuple) and key:
-        if key[0] == "tmerc":
+        if key[0] == "cea":
+            fwd, inv = make_cea(*key[1:])
+        elif key[0] == "tmerc":
             fwd, inv = _make_tmerc(*key[1:])
         elif key[0] == "lcc":
             fwd, inv = make_lcc(*key[1:])
@@ -634,17 +672,16 @@ def normalize_crs(crs):
             return ("rotpole", float(crs["grid_north_pole_longitude"]),
                     float(crs["grid_north_pole_latitude"]),
                     float(crs.get("north_pole_grid_longitude", 0.0)))
-        if crs.get("proj") == "cea":
-            return "cea"
-        if crs.get("proj") in ("utm", "tmerc", "lcc", "stere", "ob_tran"):
+        if crs.get("proj") in ("cea", "utm", "tmerc", "lcc", "stere",
+                               "ob_tran"):
             return _proj_dict_key(crs)
         raise ValueError(f"unsupported proj dict {crs}")
     if isinstance(crs, str):
         s = crs.lower().replace("epsg:", "")
-        if s == "cea" or "proj=cea" in s:
+        if s == "cea":
             return "cea"
         if any(f"proj={p}" in s
-               for p in ("utm", "tmerc", "lcc", "stere", "ob_tran")):
+               for p in ("cea", "utm", "tmerc", "lcc", "stere", "ob_tran")):
             return _proj_dict_key(_parse_proj4(s))
         if "proj=" in s:
             # out-of-family proj4 string: opaque key served by the system
@@ -699,6 +736,17 @@ def _proj_dict_key(d):
                              f"(supported: {sorted(_PROJ4_ELLPS)})")
         ellps = _PROJ4_ELLPS[en]
     ellps = ellps or "grs80"
+    if proj == "cea":
+        lat_ts = float(d.get("lat_ts", 0.0))
+        lon0 = float(d.get("lon_0", 0.0))
+        fe = float(d.get("x_0", 0.0))
+        fn = float(d.get("y_0", 0.0))
+        if (lat_ts, lon0, fe, fn) == (0.0, 0.0, 0.0, 0.0) \
+                and ellps == "grs80" and datum is None:
+            return "cea"  # the default basin-area key
+        # EASE-Grid-family CRSs carry +lat_ts — dropping it shifts
+        # coordinates by hundreds of km
+        return ("cea", lat_ts, lon0, fe, fn, ellps)
     if proj == "utm":
         zone = int(d["zone"])
         south = bool(d.get("south", False))

@@ -55,8 +55,19 @@ class ExclusionContainer:
             nodata=nodata, allow_no_overlap=allow_no_overlap, crs=crs,
         ))
 
-    def add_geometry(self, geometry, buffer=0, invert=False):
-        self.geometries.append(dict(geometry=geometry, buffer=buffer, invert=invert))
+    def add_geometry(self, geometry, buffer=0, invert=False, crs=None):
+        """Add vector exclusion geometry.  ``crs`` names the geometry's
+        own CRS; the reference reprojects GeoSeries to the excluder CRS
+        at open time (gis.py:500-505) — without this, lon/lat polygons
+        added to a metric excluder would rasterize as meter coordinates
+        near the false origin and silently exclude nothing.  A pandas
+        Series/GeoSeries-style input with a ``crs`` attribute is honored
+        when ``crs`` is not given; plain geometries default to the
+        excluder's CRS (current coordinates taken as already projected)."""
+        if crs is None:
+            crs = getattr(geometry, "crs", None)
+        self.geometries.append(dict(geometry=geometry, buffer=buffer,
+                                    invert=invert, crs=crs))
 
     def open_files(self):
         """Materialize raster files and parse geometries (gis.py:470-506)."""
@@ -80,12 +91,19 @@ class ExclusionContainer:
                     geoms = list(geoms)
                 except TypeError:
                     geoms = [geoms]
-            d["geometry"] = [G.parse_geometry(g) for g in geoms]
+            parsed = [G.parse_geometry(g) for g in geoms]
+            gcrs = d.get("crs")
+            if gcrs is not None and normalize_crs(gcrs) != self.crs:
+                parsed = [G.transform_geometry(g, gcrs, self.crs)
+                          for g in parsed]
+            d["geometry"] = parsed
+            d["crs"] = None  # applied; a re-open must not transform twice
 
     @property
     def all_open(self):
         return all(isinstance(d["raster"], Raster) for d in self.rasters) and all(
-            isinstance(d["geometry"], list) for d in self.geometries
+            isinstance(d["geometry"], list) and d.get("crs") is None
+            for d in self.geometries
         )
 
     @property
@@ -158,12 +176,17 @@ def _bounds_overlap(raster, window_bounds, window_crs):
 
     rxmin, rymin, rxmax, rymax = raster.bounds
     if _n(raster.crs) != _n(window_crs):
-        # sample the raster bounds' corners into the window CRS
-        xs = np.array([rxmin, rxmax, rxmin, rxmax])
-        ys = np.array([rymin, rymin, rymax, rymax])
+        # sample the bounds BOUNDARY densely, not just the corners:
+        # under a curved CRS an edge's extremum lies mid-edge and
+        # corner-only bounds can miss genuine overlap (same pitfall
+        # gis/kernels.py avoids for the fine-lattice cover)
+        es = np.linspace(rxmin, rxmax, 33)
+        ns = np.linspace(rymin, rymax, 33)
+        xs = np.concatenate([es, es, np.full(33, rxmin), np.full(33, rxmax)])
+        ys = np.concatenate([np.full(33, rymin), np.full(33, rymax), ns, ns])
         tx, ty = transform_points(xs, ys, raster.crs, window_crs)
-        rxmin, rxmax = tx.min(), tx.max()
-        rymin, rymax = ty.min(), ty.max()
+        rxmin, rxmax = np.nanmin(tx), np.nanmax(tx)
+        rymin, rymax = np.nanmin(ty), np.nanmax(ty)
     wxmin, wymin, wxmax, wymax = window_bounds
     return not (rxmax < wxmin or rxmin > wxmax or rymax < wymin or rymin > wymax)
 
@@ -188,14 +211,22 @@ def _total_bounds(geoms):
     return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
 
 
-def build_exclusion_mask(excluder, transform, shape):
+def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
     """OR of every exclusion layer (rasters, then geometries) of
     ``excluder`` rasterized on the ``shape`` lattice at ``transform`` in
     the excluder's CRS.  The ONE implementation of the per-layer
     codes/invert/buffer semantics — shared by the host path
     (shape_availability) and the device path
     (gis/kernels.availability_matrix_device), so the backends cannot
-    drift (reference semantics gis.py:296-323)."""
+    drift (reference semantics gis.py:296-323).
+
+    ``crop_geoms`` reproduces the reference's per-query crop
+    (projected_mask with crop=True, gis.py:197-230): raster values
+    OUTSIDE the query geometry become nodata BEFORE code selection and
+    dilation, so out-of-shape pixels never act as buffer sources.  Only
+    buffered layers can tell the difference; the shape-independent
+    device mask therefore refuses buffered raster layers
+    (gis/kernels.py)."""
     if not excluder.all_open:
         excluder.open_files()
     exclusions = np.zeros(shape, dtype=bool)
@@ -203,6 +234,10 @@ def build_exclusion_mask(excluder, transform, shape):
         transform.c, transform.f + transform.e * shape[0],
         transform.c + transform.a * shape[1], transform.f,
     )
+    crop_inside = None
+    if crop_geoms is not None:
+        crop_inside = geometry_mask(crop_geoms, shape, transform,
+                                    invert=True)
     for d in excluder.rasters:
         r = d["raster"]
         if not _bounds_overlap(r, window_bounds, excluder.crs):
@@ -215,6 +250,8 @@ def build_exclusion_mask(excluder, transform, shape):
         else:
             masked_r = reproject_nearest(r, transform, excluder.crs, shape,
                                          nodata=d["nodata"])
+        if crop_inside is not None:
+            masked_r = np.where(crop_inside, masked_r, d["nodata"])
         if d["codes"] is not None:
             if callable(d["codes"]):
                 sel = np.asarray(d["codes"](masked_r)).astype(bool)
@@ -234,11 +271,40 @@ def build_exclusion_mask(excluder, transform, shape):
         # (gis.py:321-323); the geometry buffer (gis.py:503-505, applied by
         # GEOS on the vector side there) is realized here as mask dilation
         # of the rasterized interior at fine-grid resolution.
-        inside = geometry_mask(d["geometry"], shape, transform, invert=True)
+        if d["invert"]:
+            # outside-is-excluded needs the full window
+            inside = geometry_mask(d["geometry"], shape, transform,
+                                   invert=True)
+            if d["buffer"]:
+                iterations = int(d["buffer"] / excluder.res) + 1
+                inside = binary_dilation(inside, iterations=iterations)
+            exclusions |= ~inside
+            continue
+        # window the PIP rasterization to the layer's bbox (+buffer
+        # margin): a small protected area on a country-scale lattice
+        # otherwise pays O(all pixels x edges)
+        margin = (int(d["buffer"] / excluder.res) + 2) if d["buffer"] else 1
+        gx0, gy0, gx1, gy1 = _total_bounds(d["geometry"])
+        c0 = int(np.floor((gx0 - transform.c) / transform.a)) - margin
+        c1 = int(np.ceil((gx1 - transform.c) / transform.a)) + margin
+        r0 = int(np.floor((gy1 - transform.f) / transform.e)) - margin
+        r1 = int(np.ceil((gy0 - transform.f) / transform.e)) + margin
+        c0, c1 = max(c0, 0), min(c1, shape[1])
+        r0, r1 = max(r0, 0), min(r1, shape[0])
+        if r0 >= r1 or c0 >= c1:
+            continue  # layer entirely outside the window
+        from atlite_tpu.core.grid import Affine
+
+        sub_t = Affine(transform.a, transform.b,
+                       transform.c + transform.a * c0,
+                       transform.d, transform.e,
+                       transform.f + transform.e * r0)
+        inside = geometry_mask(d["geometry"], (r1 - r0, c1 - c0), sub_t,
+                               invert=True)
         if d["buffer"]:
             iterations = int(d["buffer"] / excluder.res) + 1
             inside = binary_dilation(inside, iterations=iterations)
-        exclusions |= (~inside) if d["invert"] else inside
+        exclusions[r0:r1, c0:c1] |= inside
     return exclusions
 
 
@@ -252,7 +318,8 @@ def shape_availability(geometry, excluder, geometry_crs=None):
 
     transform, shape = padded_transform_and_shape(_total_bounds(geoms), excluder.res)
     masked = geometry_mask(geoms, shape, transform)  # True OUTSIDE the shape
-    exclusions = masked | build_exclusion_mask(excluder, transform, shape)
+    exclusions = masked | build_exclusion_mask(excluder, transform, shape,
+                                               crop_geoms=geoms)
     return ~exclusions, transform
 
 

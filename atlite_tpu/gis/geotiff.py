@@ -143,6 +143,12 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([ch])
     if w:
         emit(table[w], cs)
+        # the decoder appends one more entry after receiving this final
+        # code — if that lands on a width threshold it reads EOI at
+        # cs+1, so the encoder must apply the same bump before EOI
+        next_code += 1
+        if next_code == (1 << cs) and cs < 12:
+            cs += 1
     emit(EOI, cs)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -356,7 +362,10 @@ def _read_geotiff(path) -> "Raster":
         except ValueError:
             nodata = None
 
-    return Raster(out, transform, crs=crs, nodata=255 if nodata is None else nodata)
+    # no GDALNoData tag -> nodata stays unset (rasterio/GDAL behavior);
+    # defaulting to 255 silently dropped legitimate 255-valued pixels
+    # from average reprojections
+    return Raster(out, transform, crs=crs, nodata=nodata)
 
 
 def write_geotiff(raster, path, compression="deflate"):
@@ -381,6 +390,13 @@ def write_geotiff(raster, path, compression="deflate"):
     arr = np.ascontiguousarray(raster.data)
     if arr.ndim != 2:
         raise ValueError("single-band rasters only")
+    t_chk = raster.transform
+    if t_chk.b != 0 or t_chk.d != 0 or t_chk.a <= 0:
+        # ModelPixelScale cannot carry rotation/shear or descending x —
+        # writing abs() values would silently mislocate the raster
+        raise ValueError(
+            "write_geotiff requires an axis-aligned north-up/ascending-x "
+            f"transform, got {t_chk}")
     height, width = arr.shape
     dt = arr.dtype
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]

@@ -211,6 +211,15 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
 
     if not excluder.all_open:
         excluder.open_files()
+    if any(d["buffer"] for d in excluder.rasters):
+        # the reference crops each raster to the QUERY shape before
+        # dilation (projected_mask crop=True, gis.py:197-230), so buffer
+        # sources outside the shape never fire — per-shape semantics the
+        # shared (shape-independent, cached) device mask cannot express.
+        # The auto backend catches this and uses the host path.
+        raise NotImplementedError(
+            "buffered raster exclusion layers require per-shape crop "
+            "semantics (host path)")
     crs = excluder.crs
     res = excluder.res
 
@@ -359,6 +368,11 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     windows = [block_rows(b0, b1) for b0, b1 in blocks]
     yspan = max(hi - lo for lo, hi in windows)
     bins = yspan * NX + 1
+    # bound the (chunk, bins) bf16 one-hot operand to ~256 MB: with a
+    # wide cutout a fixed 131072-pixel chunk would materialize a
+    # multi-GB scan operand and blow HBM
+    chunk = int(max(16_384, min(131_072, 1.28e8 // max(bins, 1))))
+    chunk = -(-chunk // 1024) * 1024
 
     # dispatch every block first (async), THEN read back — checking the
     # dropped counter eagerly would force one device sync per block
@@ -371,7 +385,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             excl_dev[b0:b1],
             inv_affine, jnp.int32(lo),
             src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
-            row_tile=row_tile,
+            row_tile=row_tile, chunk=chunk,
         )
         pending.append(((b0, b1), lo, out_b))
 

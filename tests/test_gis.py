@@ -534,3 +534,101 @@ def test_availability_utm_vs_laea_parity(cutout):
     inner = slice(3, -3)
     assert east[inner].max() > 0.9
     assert west[inner].max() < 1e-6
+
+
+# --------------------------------------------------- r4 GIS review fixes
+def test_cea_lat_ts_matches_proj():
+    """+proj=cea +lat_ts=30 (EASE-Grid family) was silently decoded as
+    lat_ts=0 — ~150 km x / ~750 km y error.  Pinned vs cs2cs 9.1.1."""
+    s = "+proj=cea +lat_ts=30 +ellps=WGS84"
+    x, y = transform_points(np.array([10.0]), np.array([50.0]), 4326, s)
+    np.testing.assert_allclose(x[0], 964862.8025, atol=0.01)
+    np.testing.assert_allclose(y[0], 5614050.1031, atol=0.01)
+    lon, lat = transform_points(x, y, s, 4326)
+    np.testing.assert_allclose([lon[0], lat[0]], [10.0, 50.0], atol=1e-7)
+    # the plain basin-area key is unchanged
+    x0, _ = transform_points(np.array([10.0]), np.array([50.0]), 4326, "cea")
+    x1, _ = transform_points(np.array([10.0]), np.array([50.0]), 4326,
+                             "+proj=cea")
+    np.testing.assert_allclose(x0, x1, atol=1e-6)
+
+
+def test_add_geometry_crs_reprojection():
+    """A lon/lat exclusion polygon added to a metric (3035) excluder must
+    actually exclude (was rasterized as meter coordinates near the false
+    origin and silently ignored)."""
+    shapes = [box(X0 + 1, Y0 + 1, X0 + 2, Y0 + 2)]
+    hole = box(X0 + 1.4, Y0 + 1.4, X0 + 1.6, Y0 + 1.6)
+    exc = ExclusionContainer(crs=3035, res=500)
+    exc.add_geometry([hole], crs=4326)
+    masked, _ = shape_availability(shapes, exc, geometry_crs=4326)
+    share = masked.sum() / max((masked | True).sum(), 1)
+    # ~4% of the 1-degree box is the excluded hole
+    full = ExclusionContainer(crs=3035, res=500)
+    full_masked, _ = shape_availability(shapes, full, geometry_crs=4326)
+    assert masked.sum() < full_masked.sum() * 0.985
+    # plain geometries (no crs) keep current already-projected semantics
+    from atlite_tpu.gis.geometry import transform_geometry
+
+    exc2 = ExclusionContainer(crs=3035, res=500)
+    exc2.add_geometry([transform_geometry(hole, 4326, 3035)])
+    masked2, _ = shape_availability(shapes, exc2, geometry_crs=4326)
+    np.testing.assert_array_equal(masked, masked2)
+
+
+def test_buffer_crop_semantics_matches_reference():
+    """Reference crops each raster to the QUERY shape before dilation
+    (projected_mask crop=True): a code pixel OUTSIDE the shape must not
+    buffer into it; the shape-independent device path refuses buffered
+    layers and auto falls back to host."""
+    from atlite_tpu.core.grid import Affine
+
+    res = 0.01
+    shape_geom = [box(0.0, 0.0, 1.0, 1.0)]
+    # exclusion raster: a code-1 block just OUTSIDE the east edge
+    arr = np.zeros((120, 140), np.int32)
+    transform = Affine(res, 0, -0.2, 0, -res, 1.1)
+    cols = slice(int((1.002 + 0.2) / res), int((1.05 + 0.2) / res))
+    arr[:, cols] = 1
+    r = Raster(arr, transform, 4326, 255)
+    exc = ExclusionContainer(4326, res=res)
+    exc.add_raster(r, codes=[1], buffer=5 * res)
+    masked, _ = shape_availability(shape_geom, exc, geometry_crs=4326)
+    # nothing inside the shape is excluded beyond the no-exclusion
+    # baseline: out-of-shape code pixels are nodata before dilation
+    # (reference gis.py:197-230 crop semantics)
+    base_exc = ExclusionContainer(4326, res=res)
+    base_masked, _ = shape_availability(shape_geom, base_exc,
+                                        geometry_crs=4326)
+    assert masked.sum() == base_masked.sum()
+    # device path refuses buffered layers...
+    from atlite_tpu import Cutout
+    from atlite_tpu.gis.kernels import availability_matrix_device
+
+    cut = Cutout(path=None, module="synthetic", x=slice(0.0, 1.0),
+                 y=slice(0.0, 1.0), time="2013-01-01")
+    with pytest.raises(NotImplementedError, match="buffered"):
+        availability_matrix_device(cut, shape_geom, exc)
+    # ...and the auto backend falls back to host cleanly
+    ds = cut.availabilitymatrix(pd.Series(shape_geom), exc)
+    assert np.isfinite(np.asarray(ds.values)).all()
+
+
+def test_geotiff_untagged_nodata_stays_none(tmp_path):
+    """A GeoTIFF without GDALNoData loads with nodata=None (was 255,
+    silently dropping legitimate 255-valued pixels from averages);
+    rotated transforms refuse to write."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.geotiff import read_geotiff, write_geotiff
+
+    r = Raster(np.full((5, 6), 255, np.uint8),
+               Affine(0.1, 0, 0, 0, -0.1, 1.0), 4326, nodata=None)
+    fn = tmp_path / "n.tif"
+    write_geotiff(r, fn)
+    out = read_geotiff(fn)
+    assert out.nodata is None
+    np.testing.assert_array_equal(out.data, 255)
+    rot = Raster(np.zeros((4, 4)), Affine(0.1, 0.01, 0, 0, -0.1, 1.0),
+                 4326, None)
+    with pytest.raises(ValueError, match="axis-aligned"):
+        write_geotiff(rot, tmp_path / "rot.tif")
