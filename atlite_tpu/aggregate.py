@@ -39,13 +39,35 @@ def spdiag(v):
 
 @jax.jit
 def _dense_spmm(flat_tc, dense_m):
+    """Dense-matrix aggregation with the reference's SPARSE NaN
+    semantics: scipy's csr matmul skips structural zeros, so a NaN cell
+    poisons only the buses whose region contains it — a plain dense
+    matmul would spread it to EVERY bus (NaN * 0 = NaN).  The NaN path
+    costs a second matmul and runs only when the chunk actually holds a
+    NaN (lax.cond); structure is taken as value != 0 (explicit stored
+    zeros, which scipy would let propagate NaN, are indistinguishable
+    after densification — documented divergence)."""
     # accumulate at (at least) the input precision; on TPU f32 inputs this
     # keeps the MXU accumulator in f32
     acc = jnp.promote_types(flat_tc.dtype, jnp.float32)
-    # precision=HIGHEST keeps f32 inputs from being truncated to bf16 on
-    # the MXU (measured ~6e-4 relative error otherwise)
-    return jnp.dot(flat_tc, dense_m.T, preferred_element_type=acc,
-                   precision=jax.lax.Precision.HIGHEST)
+
+    def clean_dot(x):
+        # precision=HIGHEST keeps f32 inputs from being truncated to bf16
+        # on the MXU (measured ~6e-4 relative error otherwise)
+        return jnp.dot(x, dense_m.T, preferred_element_type=acc,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    nan_mask = jnp.isnan(flat_tc)
+
+    def with_nans(_):
+        out = clean_dot(jnp.where(nan_mask, 0, flat_tc))
+        touched = jnp.dot(nan_mask.astype(acc), (dense_m != 0).T.astype(acc),
+                          preferred_element_type=acc)
+        return jnp.where(touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype),
+                         out)
+
+    return jax.lax.cond(jnp.any(nan_mask), with_nans,
+                        lambda _: clean_dot(flat_tc), None)
 
 
 def spmm(matrix: sp.spmatrix, flat_tc):
@@ -107,7 +129,46 @@ def spmm_closure(matrix, resident=True):
     block_b = 128
     if nb * block_b * W <= (B * C) // 2:
         banded = to_banded(matrix, force_w=W or None)
-        return lambda flat: banded_spmm(banded, flat)
+        bstate = {}
+
+        def run_banded(flat):
+            # stage the banded structure ONCE (keyed by dtype) — plain
+            # banded_spmm re-uploads bands/tile_idx/inverse every call,
+            # which on the chunked streaming path would re-send the whole
+            # matrix per time chunk (r4 review finding)
+            from atlite_tpu.ops.bsr_spmm import _banded_spmm
+
+            flat = jnp.asarray(flat)
+            if "bands" not in bstate or bstate["dt"] != flat.dtype:
+                bstate["dt"] = flat.dtype
+                bstate["bands"] = jnp.asarray(banded["bands"],
+                                              dtype=flat.dtype)
+                bstate["tidx"] = jnp.asarray(banded["tile_idx"])
+                bstate["inv"] = jnp.asarray(np.pad(
+                    banded["inverse"],
+                    (0, banded["nb"] * banded["block_b"] - B),
+                    constant_values=banded["nb"] * banded["block_b"] - 1))
+            kw = dict(align=banded["align"], c_pad=banded["C_pad"])
+            nan_mask = jnp.isnan(flat)
+
+            def with_nans(_):
+                out = _banded_spmm(jnp.where(nan_mask, 0, flat),
+                                   bstate["bands"], bstate["tidx"],
+                                   bstate["inv"], **kw)
+                touched = _banded_spmm(
+                    nan_mask.astype(flat.dtype),
+                    (bstate["bands"] != 0).astype(flat.dtype),
+                    bstate["tidx"], bstate["inv"], **kw)
+                return jnp.where(
+                    touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype), out)
+
+            out = jax.lax.cond(
+                jnp.any(nan_mask), with_nans,
+                lambda _: _banded_spmm(flat, bstate["bands"], bstate["tidx"],
+                                       bstate["inv"], **kw), None)
+            return out[:B].T
+
+        return run_banded
 
     row_chunk = max(1, _DENSE_LIMIT // C)
     state = {}

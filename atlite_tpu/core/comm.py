@@ -107,13 +107,11 @@ def from_global_numpy(mesh, spec, array):
     NOTE: the input array itself lives fully on every host.  For data
     already persisted in a cutout store use :func:`from_store`, which
     never materializes the global array anywhere."""
-    import jax
     from jax.sharding import NamedSharding
 
-    sharding = NamedSharding(mesh, spec)
-    array = np.asarray(array)
-    return jax.make_array_from_callback(array.shape, sharding,
-                                        lambda idx: array[idx])
+    from atlite_tpu.core.mesh import put_global
+
+    return put_global(np.asarray(array), NamedSharding(mesh, spec))
 
 
 # total bytes copied out of store mmaps by from_store callbacks in this
@@ -133,15 +131,18 @@ def from_store(mesh, spec, store_path, var, dtype=None):
     shared filesystem artifact; the mesh placement decides which bytes
     each host touches.
     """
+    import json
+
     import jax
     from jax.sharding import NamedSharding
 
-    from atlite_tpu.core.store import _sanitize_var
+    from atlite_tpu.core.store import MANIFEST, var_path
 
     path = Path(store_path)
     if path.suffix != ".atc" and (path.parent / (path.name + ".atc")).exists():
         path = path.parent / (path.name + ".atc")
-    arr = np.load(path / f"{_sanitize_var(var)}.npy", mmap_mode="r")
+    manifest = json.loads((path / MANIFEST).read_text())
+    arr = np.load(var_path(path, manifest, var), mmap_mode="r")
 
     def cb(idx):
         global SHARD_BYTES_READ

@@ -75,18 +75,22 @@ def coordinate_range(x, y, time, dx=0.25, dy=0.25, dt="h"):
 
 
 def _end_of(label):
-    """Inclusive end of a partial ISO label ("2011" -> 2011-12-31 23:59:59.999)."""
-    ts = pd.Timestamp(str(label))
-    label = str(label)
-    if len(label) <= 4:
-        return ts + pd.offsets.YearEnd(0) + pd.Timedelta(days=1) - pd.Timedelta("1ns") \
-            if ts == ts.to_period("Y").start_time else ts
-    if len(label) == 7:
-        return ts + pd.offsets.MonthEnd(0) + pd.Timedelta(days=1) - pd.Timedelta("1ns") \
-            if ts == ts.to_period("M").start_time else ts
-    if len(label) == 10:
-        return ts + pd.Timedelta(days=1) - pd.Timedelta("1ns")
-    return ts
+    """Inclusive end of a partial ISO label ("2011" -> 2011-12-31
+    23:59:59.999..., like pandas label slicing).  Parsed via pd.Period so
+    non-zero-padded forms ("2011-1", "2011-1-5") select the whole period
+    too — length-based matching silently reduced them to one instant."""
+    label = str(label).strip()
+    ts = pd.Timestamp(label)
+    nparts = len(label.replace("T", " ").split(" ")[0].split("-"))
+    if " " in label or "T" in label or nparts > 3:
+        return ts  # explicit time component: an instant
+    freq = {1: "Y", 2: "M", 3: "D"}.get(nparts)
+    if freq is None:
+        return ts
+    per = pd.Period(label, freq=freq)
+    if ts != per.start_time:
+        return ts
+    return per.end_time.floor("ns")
 
 
 @dataclass(frozen=True)

@@ -70,14 +70,28 @@ def table_spec():
 
 
 def shard_fields(mesh, fields, tables=None):
-    """Place a dict of (T,Y,X) arrays (and (T,) tables) onto the mesh."""
+    """Place a dict of arrays onto the mesh: (T,Y,X) fields on the
+    ("t",None,"x") decomposition, (Y,X) statics on (None,"x"), (T,)
+    tables on ("t").  Uses put_global so the same call works on
+    process-spanning meshes."""
     fs = NamedSharding(mesh, field_spec())
+    ss = NamedSharding(mesh, P(None, "x"))
     ts = NamedSharding(mesh, table_spec())
-    out = {k: jax.device_put(v, fs if np.ndim(v) == 3 else ts)
-           for k, v in fields.items()}
+
+    def pick(v):
+        nd = np.ndim(v)
+        if nd == 3:
+            return fs
+        if nd == 2:
+            # a (Y, X) static field sharded P('t') would split its Y
+            # axis across the TIME mesh axis — wrong placement
+            return ss
+        return ts
+
+    out = {k: put_global(v, pick(v)) for k, v in fields.items()}
     if tables is None:
         return out
-    tabs = {k: jax.device_put(v, ts) for k, v in tables.items()}
+    tabs = {k: put_global(v, ts) for k, v in tables.items()}
     return out, tabs
 
 
@@ -144,10 +158,33 @@ def sharded_regrid_bilinear(mesh, src_x, src_y, dst_x, dst_y, halo=None):
     # the serial regrid's mode='edge' padding)
     fx = np.interp(np.asarray(dst_x), np.asarray(src_x), np.arange(X))
     fy = np.interp(np.asarray(dst_y), np.asarray(src_y), np.arange(len(src_y)))
+    # the halo each shard actually needs is determined by how far ITS dst
+    # columns reach into src-index space — not by the spacing ratio alone:
+    # a dst grid offset from the src extent needs columns far outside the
+    # local shard, and silently min()-clamping the halo would interpolate
+    # edge garbage there (r4 review finding)
+    needed = 0
+    for i in range(nx_shards):
+        fi = fx[i * dx_local:(i + 1) * dx_local]
+        if fi.size == 0:
+            continue
+        needed = max(
+            needed,
+            int(np.ceil(i * x_local - np.floor(fi.min()))),
+            int(np.ceil(fi.max() + 1 - (i + 1) * x_local)),
+        )
+    needed = max(needed, 0)
     if halo is None:
-        ratio = (src_x[1] - src_x[0]) and (dst_x[1] - dst_x[0]) / (src_x[1] - src_x[0])
-        halo = int(np.ceil(abs(ratio))) + 2
-    halo = min(halo, x_local)
+        halo = needed + 1
+    elif halo < needed:
+        raise ValueError(
+            f"halo={halo} too small: dst columns reach {needed} src "
+            "columns past their shard")
+    if halo > x_local:
+        raise ValueError(
+            f"required halo {halo} exceeds the local shard width "
+            f"{x_local}: the dst grid is too offset from the src domain "
+            "decomposition — regrid unsharded or use fewer x shards")
 
     fx = jnp.asarray(fx)
     fy_arr = jnp.asarray(fy)

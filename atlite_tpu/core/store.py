@@ -35,6 +35,20 @@ def _sanitize_var(name: str) -> str:
     return name.replace(" ", "__sp__").replace("/", "__sl__")
 
 
+def _file_digest(fn) -> str:
+    """Chunked sha256 of a file (no whole-file bytes object in RAM)."""
+    with open(fn, "rb") as fh:
+        return hashlib.file_digest(fh, "sha256").hexdigest()
+
+
+def var_path(path, manifest, name) -> Path:
+    """Resolve a variable's data file: versioned name from the manifest
+    ('file' entry, written by incremental updates) or the plain default."""
+    fname = manifest["variables"][name].get(
+        "file", f"{_sanitize_var(name)}.npy")
+    return Path(path) / fname
+
+
 def write_store(path, grid, data, attrs, var_attrs):
     """Atomically (re)write the cutout directory."""
     path = Path(path)
@@ -64,9 +78,7 @@ def write_store(path, grid, data, attrs, var_attrs):
             fn = tmp / f"{_sanitize_var(name)}.npy"
             np.save(fn, np.asarray(arr))
             # integrity checksum for failure detection on reload
-            manifest["variables"][name]["sha256"] = hashlib.sha256(
-                fn.read_bytes()
-            ).hexdigest()
+            manifest["variables"][name]["sha256"] = _file_digest(fn)
         (tmp / MANIFEST).write_text(json.dumps(manifest, indent=1))
         old = Path(str(path) + ".old")
         if old.exists():
@@ -91,10 +103,12 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
     O(store bytes) — the reference writes the whole NetCDF once per
     prepare() call, data.py:254-270; round-1 here rewrote the whole store
     once per *feature*, which was O(features²) I/O).  Crash-safe ordering:
-    new variable files land under temporary names and are os.replace'd
-    into place first; the manifest (which is what read_store trusts) is
-    swapped last, so an interruption leaves the previous consistent state
-    plus at most orphaned data files that the next write overwrites.
+    REPLACED variables are written under content-versioned names
+    ('<var>.<sha8>.npy', referenced by the manifest's 'file' entry), so
+    the manifest swap is the single commit point — a crash at any moment
+    leaves the previous manifest pointing at the previous (still intact)
+    file, never new data under an old checksum.  Superseded/orphaned
+    files are unlinked after the swap (and swept on the next update).
     """
     path = Path(path)
     if not path.exists():
@@ -125,14 +139,16 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
         return
     for name in sorted(update_vars):
         arr = np.asarray(data[name])
-        fn = path / f"{_sanitize_var(name)}.npy"
-        fd, tmpname = tempfile.mkstemp(prefix=fn.name, suffix=".tmp", dir=path)
+        fd, tmpname = tempfile.mkstemp(prefix=_sanitize_var(name),
+                                       suffix=".tmp", dir=path)
         try:
             with os.fdopen(fd, "wb") as f:
                 np.save(f, arr)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmpname, fn)
+            digest = _file_digest(tmpname)
+            fname = f"{_sanitize_var(name)}.{digest[:8]}.npy"
+            os.replace(tmpname, path / fname)
         except BaseException:
             if os.path.exists(tmpname):
                 os.unlink(tmpname)
@@ -142,7 +158,8 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
             "dtype": str(arr.dtype),
             **{k: _jsonable(v) for k, v in var_attrs.get(name, {}).items()
                if k != "dims"},
-            "sha256": hashlib.sha256(fn.read_bytes()).hexdigest(),
+            "sha256": digest,
+            "file": fname,
         }
     manifest["attrs"] = _jsonable(attrs)
     fd, tmpname = tempfile.mkstemp(prefix=MANIFEST, suffix=".tmp", dir=path)
@@ -150,7 +167,17 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
         f.write(json.dumps(manifest, indent=1))
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmpname, path / MANIFEST)
+    os.replace(tmpname, path / MANIFEST)  # the single commit point
+    # sweep files the committed manifest no longer references (superseded
+    # versions, or orphans from an earlier crash)
+    live = {var_path(path, manifest, n).name for n in manifest["variables"]}
+    live.add(MANIFEST)
+    for fn in path.iterdir():
+        if fn.name not in live and fn.suffix == ".npy":
+            try:
+                fn.unlink()
+            except OSError:
+                pass
 
 
 def read_store(path, mmap=True, verify=False):
@@ -167,10 +194,9 @@ def read_store(path, mmap=True, verify=False):
     manifest = json.loads((path / MANIFEST).read_text())
     data, var_attrs = {}, {}
     for name, meta in manifest["variables"].items():
-        fn = path / f"{_sanitize_var(name)}.npy"
+        fn = var_path(path, manifest, name)
         if verify and "sha256" in meta:
-            digest = hashlib.sha256(fn.read_bytes()).hexdigest()
-            if digest != meta["sha256"]:
+            if _file_digest(fn) != meta["sha256"]:
                 raise IOError(
                     f"checksum mismatch for variable {name!r} in {path} — "
                     "store is corrupted or was written by an interrupted "
@@ -179,7 +205,7 @@ def read_store(path, mmap=True, verify=False):
         arr = np.load(fn, mmap_mode="r" if mmap else None)
         data[name] = arr
         var_attrs[name] = {k: v for k, v in meta.items()
-                           if k not in ("dtype", "sha256")}
+                           if k not in ("dtype", "sha256", "file")}
     coords = manifest["coords"]
     grid_kwargs = dict(
         x=np.asarray(coords["x"], dtype=float),

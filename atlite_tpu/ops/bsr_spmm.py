@@ -232,19 +232,36 @@ def _banded_spmm(flat_tc, bands, tile_idx, inverse, align, c_pad):
 
 
 def banded_spmm(banded, flat_tc):
-    """Aggregate (T, C) -> (T, B) with a banded matrix (see to_banded)."""
+    """Aggregate (T, C) -> (T, B) with a banded matrix (see to_banded).
+
+    Reference sparse NaN semantics: a NaN cell must poison only buses
+    whose rows hold an entry there (scipy csr skips structural zeros) —
+    the dense band blocks would otherwise spread it across the whole
+    128-row block.  The indicator pass runs only when a NaN is present
+    (lax.cond)."""
     flat_tc = jnp.asarray(flat_tc)
-    out = _banded_spmm(
-        flat_tc,
-        jnp.asarray(banded["bands"], dtype=flat_tc.dtype),
-        jnp.asarray(banded["tile_idx"]),
-        jnp.asarray(
-            np.pad(banded["inverse"],
-                   (0, banded["nb"] * banded["block_b"] - banded["B"]),
-                   constant_values=banded["nb"] * banded["block_b"] - 1)
-        ),
-        align=banded["align"], c_pad=banded["C_pad"],
+    bands = jnp.asarray(banded["bands"], dtype=flat_tc.dtype)
+    tidx = jnp.asarray(banded["tile_idx"])
+    inv = jnp.asarray(
+        np.pad(banded["inverse"],
+               (0, banded["nb"] * banded["block_b"] - banded["B"]),
+               constant_values=banded["nb"] * banded["block_b"] - 1)
     )
+    kw = dict(align=banded["align"], c_pad=banded["C_pad"])
+    nan_mask = jnp.isnan(flat_tc)
+
+    def with_nans(_):
+        out = _banded_spmm(jnp.where(nan_mask, 0, flat_tc), bands, tidx,
+                           inv, **kw)
+        touched = _banded_spmm(nan_mask.astype(flat_tc.dtype),
+                               (bands != 0).astype(flat_tc.dtype), tidx,
+                               inv, **kw)
+        return jnp.where(touched > 0,
+                         jnp.asarray(jnp.nan, dtype=out.dtype), out)
+
+    out = jax.lax.cond(
+        jnp.any(nan_mask), with_nans,
+        lambda _: _banded_spmm(flat_tc, bands, tidx, inv, **kw), None)
     return out[: banded["B"]].T
 
 

@@ -15,6 +15,12 @@ tile-by-tile through VMEM exactly once and computes
 with zero intermediate HBM traffic: the only writes are the two (T, B)
 bus series.  Grid = (time_tiles, cell_tiles), cells fastest, so the output
 tile is revisited consecutively and accumulates in VMEM.
+
+
+NOTE: the in-kernel dense bus aggregation spreads a NaN cell to
+every bus (NaN * 0-weight); the production aggregate.py paths implement
+the reference's sparse NaN semantics (only touching buses) — this
+experimental kernel intentionally does not.
 """
 
 from __future__ import annotations

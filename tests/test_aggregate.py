@@ -176,3 +176,48 @@ def test_shapes_aggregation(mock):
 def test_spdiag():
     d = spdiag(np.array([1.0, 2.0, 3.0]))
     np.testing.assert_array_equal(d.toarray(), np.diag([1, 2, 3]))
+
+
+def test_nan_cell_poisons_only_touching_buses():
+    """Reference sparse semantics (r4 review): scipy's csr matmul skips
+    structural zeros, so a NaN cell must NaN only buses whose region
+    contains it — dense/banded formulations would spread it everywhere.
+    Pinned against the scipy oracle for both regimes."""
+    import scipy.sparse as sp
+
+    from atlite_tpu.aggregate import spmm, spmm_closure
+
+    rng = np.random.default_rng(0)
+    T, C, B = 8, 60, 5
+    m = sp.random(B, C, density=0.15, random_state=1, format="csr")
+    x = rng.random((T, C))
+    x[3, int(m.indices[0])] = np.nan  # a cell some bus definitely touches
+    x[5, 40] = np.nan
+    oracle = np.asarray((m @ x.T).T)
+    assert np.isnan(oracle).any()
+    got = np.asarray(spmm(m, x))
+    np.testing.assert_allclose(got, oracle, rtol=1e-6, equal_nan=True)
+    assert np.isnan(got).any() and not np.isnan(got).all()
+    got2 = np.asarray(spmm_closure(m)(x))
+    np.testing.assert_allclose(got2, oracle, rtol=1e-6, equal_nan=True)
+
+    # large-matrix banded regime
+    rows, cols, vals = [], [], []
+    Bb, Yy, Xx = 64, 24, 32
+    Cc = Yy * Xx
+    for b in range(Bb):
+        y0, x0 = int(rng.integers(0, Yy - 4)), int(rng.integers(0, Xx - 4))
+        cc = (np.arange(y0, y0 + 4)[:, None] * Xx
+              + np.arange(x0, x0 + 4)[None, :]).ravel()
+        rows += [b] * len(cc)
+        cols += list(cc)
+        vals += list(rng.random(len(cc)))
+    mb = sp.csr_matrix((vals, (rows, cols)), shape=(Bb, Cc))
+    xb = rng.random((T, Cc))
+    xb[2, 100] = np.nan
+    oracle_b = np.asarray((mb @ xb.T).T)
+    from atlite_tpu.ops.bsr_spmm import banded_spmm, to_banded
+
+    got_b = np.asarray(banded_spmm(to_banded(mb), xb))
+    np.testing.assert_allclose(got_b, oracle_b, rtol=1e-6, equal_nan=True)
+    assert np.array_equal(np.isnan(got_b), np.isnan(oracle_b))

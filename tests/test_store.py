@@ -123,8 +123,61 @@ def test_incremental_update_preserves_untouched_files(tmp_path):
                y=slice(50, 52), time="2013-01-01")
     c.prepare(features=["wind"])
     path = tmp_path / "upd.atc"
-    mtime_before = (path / "wnd100m.npy").stat().st_mtime_ns
+    import json
+
+    from atlite_tpu.core.store import MANIFEST, var_path
+
+    manifest = json.loads((path / MANIFEST).read_text())
+    wnd_fn = var_path(path, manifest, "wnd100m")
+    mtime_before = wnd_fn.stat().st_mtime_ns
     c.prepare(features=["influx"])
-    assert (path / "wnd100m.npy").stat().st_mtime_ns == mtime_before
-    assert (path / "influx_toa.npy").exists()
+    # the untouched variable's file is bit-identical (never rewritten)
+    manifest2 = json.loads((path / MANIFEST).read_text())
+    assert var_path(path, manifest2, "wnd100m") == wnd_fn
+    assert wnd_fn.stat().st_mtime_ns == mtime_before
+    assert var_path(path, manifest2, "influx_toa").exists()
     read_store(path, verify=True)
+
+
+def test_update_store_crash_before_manifest_is_consistent(tmp_path, monkeypatch):
+    """r4 review: variable REPLACEMENT is now versioned-file + manifest
+    commit point — a crash any time before the manifest swap leaves the
+    previous store fully readable (verify=True), never new bytes under an
+    old checksum."""
+    import os
+
+    import numpy as np
+
+    from atlite_tpu.core.grid import Grid
+    from atlite_tpu.core.store import (
+        MANIFEST, read_store, update_store, write_store,
+    )
+
+    g = Grid(x=np.arange(3.0), y=np.arange(2.0),
+             time=np.array(["2013-01-01", "2013-01-02"],
+                           dtype="datetime64[ns]"))
+    path = tmp_path / "c.atc"
+    old_arr = np.ones((2, 2, 3), np.float32)
+    write_store(path, g, {"v": old_arr}, {"module": "synthetic"},
+                {"v": {"dims": ("time", "y", "x")}})
+
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if str(dst).endswith(MANIFEST):
+            raise RuntimeError("simulated crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_store(path, g, {"v": old_arr * 7}, {"module": "synthetic"},
+                     {"v": {"dims": ("time", "y", "x")}}, ["v"])
+    monkeypatch.setattr(os, "replace", real_replace)
+    # the OLD store reads back intact, checksums and all
+    _, data, _, _ = read_store(path, verify=True, mmap=False)
+    np.testing.assert_array_equal(np.asarray(data["v"]), old_arr)
+    # and a clean retry commits the new data + sweeps the orphan
+    update_store(path, g, {"v": old_arr * 7}, {"module": "synthetic"},
+                 {"v": {"dims": ("time", "y", "x")}}, ["v"])
+    _, data2, _, _ = read_store(path, verify=True, mmap=False)
+    np.testing.assert_array_equal(np.asarray(data2["v"]), old_arr * 7)
