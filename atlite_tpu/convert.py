@@ -208,6 +208,17 @@ def convert_and_aggregate(
             matrix = matrix.to_numpy()
         if np.ndim(matrix) != 2:
             raise ValueError("Matrix not 2-dimensional.")
+        ncells = len(cutout.grid_desc.y) * len(cutout.grid_desc.x)
+        if np.shape(matrix)[1] != ncells:
+            # a matrix built against a DIFFERENT cutout would otherwise
+            # fail deep in the matmul (or worse, broadcast) — the
+            # reference validates spatial alignment here
+            # (convert.py:225-231); column ORDER cannot be checked
+            # without the reference's stacked spatial MultiIndex, which
+            # this API does not carry
+            raise ValueError(
+                f"Matrix spatial dimension ({np.shape(matrix)[1]} columns) "
+                f"not aligned with the cutout grid ({ncells} cells)")
         matrix = sp.csr_matrix(matrix)
 
     if shapes is not None:
@@ -245,7 +256,11 @@ def convert_and_aggregate(
     if per_unit:
         caps = capacity.values
         scale = np.where(caps != 0, 1.0 / np.where(caps != 0, caps, 1.0), 0.0)
-        results = results.copy(results.values * scale[:, None])
+        # reference: (results / capacity.where(capacity != 0)).fillna(0)
+        # (convert.py:264-266) — NaN hours and zero-capacity buses both
+        # come back as 0.0 in per-unit terms
+        results = results.copy(np.nan_to_num(results.values * scale[:, None],
+                                             nan=0.0))
         results.attrs["units"] = "p.u."
     else:
         results.attrs["units"] = "MW"
@@ -412,6 +427,19 @@ def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
         bus_name = getattr(index, "name", None) or "bus"
 
     bounds = _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds)
+    # a shorter TAIL chunk would retrace/recompile every jitted kernel for
+    # its odd shape (20-40 s per compile through the relay, minutes in bad
+    # intervals): for plain elementwise converters, slide the last window
+    # back to a full time_chunk and drop the overlapping prefix from its
+    # output — same compiled shape, real data.  Demand converters keep
+    # their day-aligned variable chunks (their daily resample must not see
+    # repeated hours).
+    windows = [[bounds[i], bounds[i + 1], 0] for i in range(len(bounds) - 1)]
+    if convert_func not in (convert_heat_demand, convert_cooling_demand) \
+            and len(windows) > 1:
+        t0_l, t1_l, _ = windows[-1]
+        if t1_l - t0_l < time_chunk and T >= time_chunk:
+            windows[-1] = [T - time_chunk, T, time_chunk - (t1_l - t0_l)]
     from concurrent.futures import ThreadPoolExecutor
 
     def stage(t0, t1):
@@ -423,18 +451,32 @@ def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
     prev = None
     ex = ThreadPoolExecutor(max_workers=1)
     try:
-        fut = ex.submit(stage, bounds[0], bounds[1])
-        for i in range(len(bounds) - 1):
+        fut = ex.submit(stage, windows[0][0], windows[0][1])
+        for i in range(len(windows)):
             sub = fut.result()
-            if i + 2 < len(bounds):
-                fut = ex.submit(stage, bounds[i + 1], bounds[i + 2])
+            if i + 1 < len(windows):
+                fut = ex.submit(stage, windows[i + 1][0], windows[i + 1][1])
             da = convert_func(sub, **convert_kwds)  # async XLA dispatch
+            drop = windows[i][2]
             if agg_fn is not None:
                 Tc = da.sizes["time"]
                 out = agg_fn(da.values.reshape(Tc, -1)).T  # (B, Tc), device
+                tvals = np.asarray(da.coords["time"].values)
+                if drop:  # overlap dropped AFTER the fixed-shape spmm
+                    out = out[:, drop:]
+                    tvals = tvals[drop:]
                 da = DataArray(
-                    out, coords={bus_name: index, "time": da.coords["time"]},
+                    out, coords={bus_name: index, "time": tvals},
                     dims=(bus_name, "time"), attrs=da.attrs, name=da.name,
+                )
+            elif drop:
+                da = DataArray(
+                    da.values[drop:],
+                    coords={**{k: v for k, v in da.coords.items()
+                               if k != "time"},
+                            "time": np.asarray(
+                                da.coords["time"].values)[drop:]},
+                    dims=da.dims, attrs=da.attrs, name=da.name,
                 )
             times.append(np.asarray(da.coords["time"].values))
             if prev is not None:
@@ -555,6 +597,27 @@ def cooling_demand(cutout, threshold=23.0, a=1.0, constant=0.0, hour_shift=0.0,
 # ---------------------------------------------------------------------------
 # solar: irradiation / pv / solar thermal (convert.py:549-936)
 # ---------------------------------------------------------------------------
+def _resolve_solar_position(fields, eph, lon, lat, trig_carry=False):
+    """THE stored-vs-ephemeris solar-position dispatch, shared by the pv
+    chain and csp (line_rating mirrors it by writing the fields dict);
+    a change to the convention (e.g. the -30 min ERA5 shift) must land
+    here once, not drift between converters.  Works inside jit."""
+    if "solar_altitude" in fields and "solar_azimuth" in fields:
+        sp_ = {"altitude": fields["solar_altitude"],
+               "azimuth": fields["solar_azimuth"]}
+        if trig_carry:
+            # the cutout's fields cache derives the (sin, cos) pairs once
+            # and every conversion reuses them
+            for src, dst in (("solar_altitude_sin", "sin_altitude"),
+                             ("solar_altitude_cos", "cos_altitude"),
+                             ("solar_azimuth_sin", "sin_azimuth"),
+                             ("solar_azimuth_cos", "cos_azimuth")):
+                if src in fields:
+                    sp_[dst] = fields[src]
+        return sp_
+    return solar_position(jnp.asarray(eph["declination"]),
+                          jnp.asarray(eph["hour_angle0"]),
+                          jnp.asarray(lon), jnp.asarray(lat))
 @partial(jax.jit, static_argnames=(
     "orient_t", "tracking", "trigon_model", "clearsky_model",
     "altitude_threshold", "irradiation_kind", "panel_t", "solar_thermal_t",
@@ -565,19 +628,7 @@ def _solar_chain(fields, eph, lon, lat, orient_t, tracking, trigon_model,
     """One fused pipeline: solar position -> orientation -> transposition
     [-> panel model | -> collector model].  Everything from here on is a
     single XLA computation on the (T, Y, X) lattice."""
-    if "solar_altitude" in fields and "solar_azimuth" in fields:
-        sp_ = {"altitude": fields["solar_altitude"],
-               "azimuth": fields["solar_azimuth"]}
-        # trig-carry fast lane: the cutout's fields cache derives the
-        # (sin, cos) pairs once and every conversion reuses them
-        for src, dst in (("solar_altitude_sin", "sin_altitude"),
-                         ("solar_altitude_cos", "cos_altitude"),
-                         ("solar_azimuth_sin", "sin_azimuth"),
-                         ("solar_azimuth_cos", "cos_azimuth")):
-            if src in fields:
-                sp_[dst] = fields[src]
-    else:
-        sp_ = solar_position(eph["declination"], eph["hour_angle0"], lon, lat)
+    sp_ = _resolve_solar_position(fields, eph, lon, lat, trig_carry=True)
     surf = surface_orientation(sp_, lat, _thaw(orient_t), tracking)
     irr = tilted_irradiation(
         fields, sp_, surf, trigon_model=trigon_model,
@@ -613,7 +664,17 @@ def _run_solar_chain(cutout, orientation, tracking=None, trigon_model="simple",
         solar_thermal_t=(None if solar_thermal_cfg is None
                          else _freeze(solar_thermal_cfg)),
     )
-    return _tyx(cutout, out)
+    da = _tyx(cutout, out)
+    # reference attrs/name conventions: irradiation carries 'W m**-2'
+    # (pv/irradiation.py:253), pv is 'specific generation' in kWh/kWp
+    # (pv/solar_panel_model.py:41-43); solar thermal stamps nothing
+    # (reference convert_solar_thermal returns bare output)
+    if panel is not None:
+        da.attrs["units"] = "kWh/kWp"
+        da.name = "specific generation"
+    elif solar_thermal_cfg is None:
+        da.attrs["units"] = "W m**-2"
+    return da
 
 
 def convert_irradiation(cutout, orientation, tracking=None, irradiation="total",
@@ -712,14 +773,9 @@ def wind(cutout, turbine, smooth=False, add_cutout_windspeed=False,
 # ---------------------------------------------------------------------------
 def convert_csp(cutout, installation):
     fields = cutout.fields()
-    stored, eph = _solar_position_inputs(cutout, fields)
-    if stored is None:
-        sp_ = solar_position(
-            jnp.asarray(eph["declination"]), jnp.asarray(eph["hour_angle0"]),
-            jnp.asarray(cutout.grid_desc.x), jnp.asarray(cutout.grid_desc.y),
-        )
-    else:
-        sp_ = stored
+    _, eph = _solar_position_inputs(cutout, fields)
+    sp_ = _resolve_solar_position(fields, eph if eph is not None else {},
+                                  cutout.grid_desc.x, cutout.grid_desc.y)
     out = csp_kernels.csp_specific_generation(fields, sp_, installation)
     return _tyx(cutout, out, name="specific generation",
                 attrs={"units": "kWh/kW_ref"})
@@ -755,7 +811,9 @@ def runoff(cutout, smooth=None, lower_threshold_quantile=None,
     two = isinstance(result, tuple)
     res = result[0] if two else result
 
-    if smooth is not None:
+    if smooth:  # False/None/0 all mean "no smoothing" (smooth=False
+        # previously slipped past an `is not None` guard into a
+        # window-0 rolling mean that crashed on an empty slice)
         if smooth is True:
             smooth = 24 * 7
         res = res.rolling_mean("time", smooth, min_periods=1)

@@ -213,6 +213,9 @@ class DataArray:
         smoothing at convert.py:1050-1052): NaNs inside a window are
         excluded from both the sum and the count rather than poisoning
         every later window through the cumsum."""
+        window = int(window)
+        if window < 1:
+            raise ValueError(f"rolling_mean window must be >= 1, got {window}")
         axis = self.get_axis_num(dim)
         # time LAST: the cumsums then run along contiguous memory (cumsum
         # along a leading axis of an 8760-h field is ~3x slower)

@@ -128,7 +128,10 @@ def surface_orientation(solar_position, lat, orientation_spec, tracking=None):
 
     elif tracking == "vertical":
         cosincidence = jnp.sin(slope) * cos_alt + jnp.cos(slope) * sin_alt
-        surface_slope, surface_azimuth = slope, az
+        # the reference's vertical branch never reassigns surface_azimuth
+        # (orientation.py:169-174): the returned azimuth stays the STATIC
+        # panel azimuth even though the tracker follows the sun
+        surface_slope, surface_azimuth = slope, panel_az
 
     else:  # dual
         cosincidence = jnp.ones_like(alt)

@@ -348,3 +348,55 @@ def test_streamed_enhanced_clearsky_keeps_humidity(cutout_week):
     chunk_i = c.irradiation(**kw2, time_chunk=48)
     np.testing.assert_allclose(np.asarray(chunk_i.values),
                                np.asarray(full_i.values), rtol=1e-10)
+
+
+def test_r4_gateway_review_fixes(cutout):
+    """r4 review: per_unit zero-fills NaN like the reference's
+    fillna(0) (convert.py:264-266); a matrix with the wrong column count
+    is refused up front; runoff(smooth=False) means no smoothing."""
+    import scipy.sparse as sp
+
+    # per_unit NaN fill: poison one cell-hour, aggregate per-unit
+    data = dict(cutout.data)
+    wnd = np.array(cutout.data["wnd100m"], copy=True)
+    wnd[0, 0, 0] = np.nan
+    data["wnd100m"] = wnd
+    from atlite_tpu import Cutout
+
+    c2 = Cutout(path=None, data=data, grid_desc=cutout.grid_desc,
+                attrs=dict(cutout.attrs), var_attrs=dict(cutout.var_attrs))
+    C = len(cutout.grid_desc.y) * len(cutout.grid_desc.x)
+    m = sp.csr_matrix(np.ones((1, C)))
+    out = c2.wind("Vestas_V112_3MW", matrix=m, per_unit=True,
+                  aggregate_time=None)
+    vals = np.asarray(out.values)
+    assert np.isfinite(vals).all()  # the NaN hour became 0.0, not NaN
+    assert vals[0, 0] == 0.0
+
+    with pytest.raises(ValueError, match="not aligned with the cutout"):
+        cutout.wind("Vestas_V112_3MW", matrix=np.ones((2, C + 3)))
+
+    r = cutout.runoff(smooth=False, aggregate_time=None)  # crashed before
+    assert np.isfinite(np.asarray(r.values)).all()
+
+
+def test_chunked_tail_overlap_equality(cutout):
+    """The tail chunk now re-runs a full-width window and drops the
+    overlap (shape-stable recompile fix) — chunked output must still
+    equal unchunked exactly, with and without aggregation."""
+    import scipy.sparse as sp
+
+    T = len(cutout.grid_desc.time)
+    chunk = T // 2 + 3  # forces a short tail
+    full = np.asarray(cutout.wind("Vestas_V112_3MW",
+                                  aggregate_time=None).values)
+    chunked = np.asarray(cutout.wind("Vestas_V112_3MW", time_chunk=chunk,
+                                     aggregate_time=None).values)
+    np.testing.assert_allclose(chunked, full, rtol=1e-6)
+    C = full.shape[1] * full.shape[2]
+    m = sp.random(4, C, density=0.1, random_state=0, format="csr")
+    fa = np.asarray(cutout.wind("Vestas_V112_3MW", matrix=m,
+                                aggregate_time=None).values)
+    ca = np.asarray(cutout.wind("Vestas_V112_3MW", matrix=m,
+                                time_chunk=chunk, aggregate_time=None).values)
+    np.testing.assert_allclose(ca, fa, rtol=1e-6)
