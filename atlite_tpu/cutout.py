@@ -116,8 +116,14 @@ class Cutout:
         self.path = path
 
         modules = np.atleast_1d(self.attrs.get("module"))
+        unknown = [m for m in modules if m not in datamodules]
+        if unknown:
+            raise ValueError(
+                f"unknown dataset module(s) {unknown}; available: "
+                f"{sorted(datamodules)}")
         crs = {datamodules[m].crs for m in modules}
-        assert len(crs) == 1, f"CRS of {modules} not compatible"
+        if len(crs) != 1:  # user-input validation must survive python -O
+            raise ValueError(f"CRS of modules {list(modules)} not compatible")
 
     # ------------------------------------------------------------------ meta
     @property
@@ -320,8 +326,9 @@ class Cutout:
         if tmpdir is None:
             # create-and-clean a tmpdir when the caller passes none
             # (reference decorates cutout_prepare with
-            # @maybe_remove_tmpdir, data.py:114-129) — otherwise every
-            # CDS retrieval chunk leaks a .grib into the system tmp
+            # @maybe_remove_tmpdir, data.py:114-129; the functional API's
+            # data.maybe_remove_tmpdir is the same lifecycle) — otherwise
+            # every CDS retrieval chunk leaks a .grib into the system tmp
             from shutil import rmtree
             from tempfile import mkdtemp
 
@@ -718,6 +725,12 @@ def _read_netcdf_cutout(path):
 
     data, var_attrs = {}, {}
     for name, (dnames, arr, va) in variables.items():
+        from atlite_tpu.io.netcdf import unpack_cf
+
+        # CF mask-and-scale (packed int16 encodings): keeping the raw
+        # integers with the scale attrs as inert metadata would feed
+        # packed values to every converter
+        arr, va = unpack_cf(arr, va)
         arr = np.asarray(arr)
         if "y" in dnames and flip_y:
             arr = np.flip(arr, axis=dnames.index("y")).copy()

@@ -134,6 +134,13 @@ class DataArray:
         for d, v in indexers.items():
             idx = self.coords[d]
             if isinstance(v, slice):
+                if isinstance(idx, pd.DatetimeIndex):
+                    # pandas label slicing: handles string endpoints incl.
+                    # partial labels ("2013-01" = the whole month), the
+                    # xarray idiom every converter result supports
+                    sl = idx.slice_indexer(v.start, v.stop)
+                    isels[d] = np.arange(len(idx))[sl]
+                    continue
                 lo, hi = v.start, v.stop
                 mask = np.ones(len(idx), dtype=bool)
                 vals = idx.values
@@ -146,7 +153,15 @@ class DataArray:
                 if method == "nearest":
                     isels[d] = int(idx.get_indexer([v], method="nearest")[0])
                 else:
-                    isels[d] = int(idx.get_loc(v))
+                    loc = idx.get_loc(v)
+                    if isinstance(loc, slice):
+                        # partial-string datetime scalar ("2013-01-02" on
+                        # an hourly index) selects the whole period
+                        isels[d] = np.arange(len(idx))[loc]
+                    elif np.ndim(loc) > 0:  # boolean mask from get_loc
+                        isels[d] = np.flatnonzero(np.asarray(loc))
+                    else:
+                        isels[d] = int(loc)
             else:
                 pos = idx.get_indexer(np.asarray(v), method=method)
                 if method is None and (pos < 0).any():

@@ -215,6 +215,13 @@ def _open_raw(path):
         elif name == "number":
             continue  # ensemble bookkeeping coord (reference era5.py:101)
         elif set(dnames) >= {"y", "x"}:
+            # CF mask-and-scale: classic CDS NetCDF packs fields as int16
+            # with scale_factor/add_offset/_FillValue — raw integers would
+            # be a silent misdecode and fill values must become NaN for
+            # the expver hole-filling below to fire
+            from atlite_tpu.io.netcdf import unpack_cf
+
+            arr, _ = unpack_cf(arr, vattrs)
             fields[name] = (dnames, np.asarray(arr, dtype=np.float64))
     for name, (dnames, arr) in list(fields.items()):
         if "expver" in dnames:
@@ -286,9 +293,29 @@ def _merge_expver(arr, axis, expver_vals):
 
 
 def _concat_time(parts):
-    """Merge per-request datasets along time (sorted, unique)."""
+    """Merge per-request datasets along time (sorted, unique).
+
+    Every part must sit on the SAME spatial lattice and carry the same
+    variables — same-shape files over shifted areas would otherwise
+    concatenate cleanly and land on the first file's coordinates
+    (silent mis-georeferencing, r4 review)."""
     fields = {}
     coords0 = parts[0][1]
+    for i, (_, c) in enumerate(parts[1:], start=1):
+        for ax in ("x", "y"):
+            if (len(c[ax]) != len(coords0[ax])
+                    or not np.allclose(np.asarray(c[ax], dtype=float),
+                                       np.asarray(coords0[ax], dtype=float),
+                                       atol=1e-5)):
+                raise ValueError(
+                    f"ERA5 file {i} sits on a different {ax} lattice than "
+                    "file 0 — files passed together must share one grid")
+    varsets = [set(p) for p, _ in parts]
+    if any(vs != varsets[0] for vs in varsets[1:]):
+        raise ValueError(
+            "ERA5 files carry different variable sets "
+            f"({sorted(set.union(*varsets) - set.intersection(*varsets))} "
+            "not present everywhere); merge would silently drop them")
     times = np.concatenate([np.asarray(c["time"], dtype="datetime64[ns]")
                             for _, c in parts])
     order = np.argsort(times, kind="stable")
@@ -428,9 +455,13 @@ def get_data(cutout, feature, tmpdir=None, monthly_requests=False,
     lon, lat = np.asarray(grid.x), np.asarray(grid.y)
 
     if feature == "wind":
+        # NB: no wnd10m here — the reference's wind feature carries only
+        # [wnd100m, wnd_shear_exp, wnd_azimuth, roughness]
+        # (era5.py:47-60); a wnd10m entry would be dropped by the feature
+        # filter anyway (it previously recomputed derive_wind's sqrt for
+        # nothing, r4 review)
         ds = derive_wind(sub["u100"], sub["v100"], sub["u10"], sub["v10"],
                          sub["fsr"])
-        ds["wnd10m"] = np.sqrt(sub["u10"] ** 2 + sub["v10"] ** 2)
         if sanitize:
             ds = sanitize_wind(ds)
     elif feature == "influx":

@@ -45,6 +45,33 @@ def encode_cf_time(times, units="hours since 1900-01-01"):
     return ns.astype("int64") / per
 
 
+def unpack_cf(arr, vattrs):
+    """Apply CF mask-and-scale (the xarray default): values equal to
+    _FillValue/missing_value become NaN, then scale_factor/add_offset.
+    Returns (array, attrs-with-packing-keys-removed); a no-op (same
+    array) when no packing attrs are present.  Classic CDS NetCDF packs
+    ERA5 fields as int16 with these attrs — using the raw integers is a
+    silent misdecode (r4 review)."""
+    vattrs = dict(vattrs or {})
+    fill = vattrs.pop("_FillValue", vattrs.pop("missing_value", None))
+    scale = vattrs.pop("scale_factor", None)
+    offset = vattrs.pop("add_offset", None)
+    if fill is None and scale is None and offset is None:
+        return arr, vattrs
+    a = np.asarray(arr)
+    out = a.astype(np.float64)
+    if fill is not None and a.dtype.kind in "iuf":
+        try:
+            out = np.where(a == a.dtype.type(fill), np.nan, out)
+        except (TypeError, ValueError, OverflowError):
+            pass  # malformed fill attr: keep values rather than crash
+    if scale is not None:
+        out = out * float(scale)
+    if offset is not None:
+        out = out + float(offset)
+    return out, vattrs
+
+
 def read_netcdf(path, decode_times=True):
     """Read any supported NetCDF file.
 

@@ -128,3 +128,23 @@ def test_binop_refuses_misaligned_coords():
     c = DataArray(np.array([10.0, 20, 30]), coords={"x": pd.Index([1, 2, 3])},
                   dims=("x",))
     np.testing.assert_allclose((a + c).values, [11, 22, 33])
+
+
+def test_sel_string_datetime_labels():
+    """r4 review: string/partial-string time labels are the standard
+    xarray idiom — slices and scalars must both work."""
+    import pandas as pd
+
+    from atlite_tpu.dataarray import DataArray
+
+    times = pd.date_range("2013-01-01", periods=72, freq="h").values
+    da = DataArray(np.arange(72.0), coords={"time": times}, dims=("time",))
+    s = da.sel(time=slice("2013-01-01", "2013-01-02"))
+    assert len(s.values) == 48  # inclusive label slicing, both full days
+    s2 = da.sel(time="2013-01-02")
+    assert len(np.atleast_1d(s2.values)) == 24
+    s3 = da.sel(time=slice("2013-01-02 03:00", None))
+    assert len(s3.values) == 72 - 27
+    # exact-timestamp scalar still collapses the dim
+    s4 = da.sel(time=np.datetime64("2013-01-01T05:00"))
+    assert np.ndim(s4.values) == 0 and float(s4.values) == 5.0

@@ -141,3 +141,57 @@ def test_gebco_height_ingest(tmp_path):
     assert h[-1].mean() > h[0].mean()
     assert np.isclose(h[0].mean(), 100.0, atol=5)
     assert np.isclose(h[-1].mean(), 300.0, atol=5)
+
+
+def test_era5_netcdf_cf_packed_decoding(tmp_path):
+    """r4 review: classic CDS NetCDF packs fields as int16 with
+    scale_factor/add_offset/_FillValue — the era5 offline path must
+    mask-and-scale, not hand packed integers to the converters."""
+    import numpy as np
+
+    from atlite_tpu.datasets.era5 import _open_raw
+    from atlite_tpu.io import netcdf3
+
+    T, NY, NX = 4, 3, 5
+    rng = np.random.default_rng(0)
+    t2m = rng.random((T, NY, NX)) * 30 + 270
+    scale, offset = 0.001, 285.0
+    packed = np.round((t2m - offset) / scale).astype(np.int16)
+    packed[0, 0, 0] = -32767  # fill
+    fn = tmp_path / "p.nc"
+    netcdf3.write(
+        fn, {"time": T, "latitude": NY, "longitude": NX},
+        {
+            "time": (("time",), np.arange(T, dtype="f8"),
+                     {"units": "hours since 2013-01-01"}),
+            "latitude": (("latitude",), np.linspace(52, 50, NY), {}),
+            "longitude": (("longitude",), np.linspace(0, 4, NX), {}),
+            "t2m": (("time", "latitude", "longitude"), packed,
+                    {"scale_factor": scale, "add_offset": offset,
+                     "_FillValue": np.int16(-32767)}),
+        })
+    fields, coords = _open_raw(fn)
+    got = fields["t2m"]
+    assert np.isnan(got[0, -1, 0])  # fill -> NaN (y flipped ascending)
+    m = ~np.isnan(got)
+    expect = packed.astype(np.float64) * scale + offset
+    np.testing.assert_allclose(got[m], expect[::1, ::-1][m], atol=1e-9)
+
+
+def test_era5_concat_refuses_mixed_grids(tmp_path):
+    """Same-shape files over shifted areas must refuse, not silently land
+    on the first file's coordinates."""
+    import numpy as np
+    import pytest
+
+    from atlite_tpu.datasets.era5 import _concat_time
+
+    c0 = {"x": np.linspace(0, 4, 5), "y": np.linspace(50, 52, 3),
+          "time": np.array(["2013-01-01"], dtype="datetime64[ns]")}
+    c1 = dict(c0, x=np.linspace(10, 14, 5),
+              time=np.array(["2013-01-02"], dtype="datetime64[ns]"))
+    f = {"t2m": np.ones((1, 3, 5))}
+    with pytest.raises(ValueError, match="different x lattice"):
+        _concat_time([(f, c0), (f, c1)])
+    with pytest.raises(ValueError, match="different variable sets"):
+        _concat_time([(f, c0), ({"ssrd": np.ones((1, 3, 5))}, dict(c0))])
