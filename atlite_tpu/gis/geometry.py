@@ -28,8 +28,16 @@ class Geometry:
 
     @property
     def bounds(self):
-        pts = np.concatenate(self._all_coords())
-        return (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+        # cached: the intersection-matrix cell loop queries bounds per
+        # cell, and concatenating every ring each time cost O(vertices)
+        # per call (geometries are immutable once built)
+        b = getattr(self, "_bounds_cache", None)
+        if b is None:
+            pts = np.concatenate(self._all_coords())
+            b = (pts[:, 0].min(), pts[:, 1].min(),
+                 pts[:, 0].max(), pts[:, 1].max())
+            self._bounds_cache = b
+        return b
 
     @property
     def __geo_interface__(self):
@@ -71,14 +79,18 @@ class Polygon(Geometry):
 
     def __init__(self, shell, holes=()):
         shell = np.asarray(shell, dtype=float).reshape(-1, 2)
-        # drop an explicit closing vertex; rings are implicitly closed
-        if len(shell) > 1 and np.allclose(shell[0], shell[-1]):
+        # drop an explicit closing vertex; rings are implicitly closed.
+        # EXACT comparison: GeoJSON closure repeats the first vertex
+        # bit-identically, while an rtol test at projected-meter scale
+        # (rtol*4.5e6 ~ 45 m) silently deleted genuinely distinct
+        # vertices near the ring start (r4 review)
+        if len(shell) > 1 and bool(np.all(shell[0] == shell[-1])):
             shell = shell[:-1]
         self.shell = shell
         self.holes = []
         for h in holes:
             h = np.asarray(h, dtype=float).reshape(-1, 2)
-            if len(h) > 1 and np.allclose(h[0], h[-1]):
+            if len(h) > 1 and bool(np.all(h[0] == h[-1])):
                 h = h[:-1]
             self.holes.append(h)
 
@@ -145,6 +157,14 @@ def parse_geometry(obj) -> Geometry:
     if gi is None:
         raise TypeError(f"cannot interpret {type(obj)} as geometry")
     t = gi["type"]
+    if t == "Feature":
+        return parse_geometry(gi["geometry"])
+    if t in ("FeatureCollection", "GeometryCollection"):
+        raise TypeError(
+            f"{t} holds multiple geometries; pass them individually "
+            "(e.g. iterate the features/geometries list)")
+    if "coordinates" not in gi:
+        raise TypeError(f"unsupported geometry type {t!r} (no coordinates)")
     c = gi["coordinates"]
     if t == "Point":
         return Point(*c)
@@ -154,8 +174,6 @@ def parse_geometry(obj) -> Geometry:
         return Polygon(c[0], c[1:])
     if t == "MultiPolygon":
         return MultiPolygon([Polygon(p[0], p[1:]) for p in c])
-    if t == "Feature":
-        return parse_geometry(gi["geometry"])
     raise TypeError(f"unsupported geometry type {t}")
 
 
@@ -307,6 +325,8 @@ def geometry_intersects_box(geom, xmin, ymin, xmax, ymax) -> bool:
         return xmin <= geom.x <= xmax and ymin <= geom.y <= ymax
     if isinstance(geom, LineString):
         c = geom.coords
+        if len(c) == 1:  # degenerate one-point line: point-in-box
+            return bool(xmin <= c[0, 0] <= xmax and ymin <= c[0, 1] <= ymax)
         return any(
             segment_intersects_box(c[i], c[i + 1], xmin, ymin, xmax, ymax)
             for i in range(len(c) - 1)
@@ -317,9 +337,11 @@ def geometry_intersects_box(geom, xmin, ymin, xmax, ymax) -> bool:
         # zero-area contact: box corner on boundary or shared edge
         polys = geom.polygons if isinstance(geom, MultiPolygon) else [geom]
         for p in polys:
-            ring = np.vstack([p.shell, p.shell[:1]])
-            for i in range(len(ring) - 1):
-                if segment_intersects_box(ring[i], ring[i + 1], xmin, ymin, xmax, ymax):
-                    return True
+            for r in (p.shell, *p.holes):  # hole edges touch too
+                ring = np.vstack([r, r[:1]])
+                for i in range(len(ring) - 1):
+                    if segment_intersects_box(ring[i], ring[i + 1],
+                                              xmin, ymin, xmax, ymax):
+                        return True
         return False
     raise TypeError(type(geom))

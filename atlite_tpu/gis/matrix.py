@@ -32,7 +32,14 @@ def _iter_shapes(shapes):
     elif isinstance(shapes, dict):
         items = shapes.items()
     elif isinstance(shapes, (G.Geometry,)) or hasattr(shapes, "__geo_interface__"):
-        items = [(0, shapes)]
+        gi = getattr(shapes, "__geo_interface__", None)
+        if isinstance(gi, dict) and gi.get("type") == "FeatureCollection":
+            # GeoDataFrame-style input (reference gis.py:128-129 accepts
+            # GeoDataFrames): iterate the rows, keep their ids
+            items = [(f.get("id", i), f["geometry"])
+                     for i, f in enumerate(gi["features"])]
+        else:
+            items = [(0, shapes)]
     else:
         items = enumerate(shapes)
     for k, v in items:
@@ -101,6 +108,12 @@ def compute_indicatormatrix(grid, shapes, orig_crs=4326, dest_crs=4326):
     orig_crs, dest_crs = normalize_crs(orig_crs), normalize_crs(dest_crs)
     nx, ny = len(grid.x), len(grid.y)
     cell_area = grid.dx * grid.dy
+    if cell_area == 0:
+        # Grid.dx/dy are 0.0 for single-column/row grids; dividing the
+        # overlap areas by 0 would emit inf entries silently
+        raise ValueError(
+            "indicator matrix needs a grid with at least 2 columns and "
+            f"2 rows (dx={grid.dx}, dy={grid.dy})")
     rows, cols, vals = [], [], []
     for i, (_, geom) in enumerate(_iter_shapes(shapes)):
         if dest_crs != orig_crs:
@@ -124,11 +137,16 @@ def compute_intersectionmatrix(grid, shapes, orig_crs=4326, dest_crs=4326):
     for i, (_, geom) in enumerate(_iter_shapes(shapes)):
         if dest_crs != orig_crs:
             geom = G.transform_geometry(geom, dest_crs, orig_crs)
-        i0, i1, j0, j1 = _grid_window(grid, geom.bounds)
+        gb = geom.bounds  # hoisted: the property concatenates every ring
+        i0, i1, j0, j1 = _grid_window(grid, gb)
         for j in range(j0, j1):
             ylo, yhi = grid.y[j] - grid.dy / 2, grid.y[j] + grid.dy / 2
+            if gb[3] < ylo or gb[1] > yhi:
+                continue
             for ii in range(i0, i1):
                 xlo, xhi = grid.x[ii] - grid.dx / 2, grid.x[ii] + grid.dx / 2
+                if gb[2] < xlo or gb[0] > xhi:
+                    continue
                 if G.geometry_intersects_box(geom, xlo, ylo, xhi, yhi):
                     rows.append(i)
                     cols.append(j * nx + ii)

@@ -141,6 +141,7 @@ void points_in_rings(const double* rxs, const double* rys,
   int64_t off = 0;
   for (int64_t r = 0; r < n_rings; ++r) {
     const int64_t n = ring_sizes[r];
+    if (n == 0) continue;  // empty ring: the bbox init below would read OOB
     // bbox prefilter for this ring
     double rxmin = rxs[off], rxmax = rxs[off];
     double rymin = rys[off], rymax = rys[off];
