@@ -244,3 +244,54 @@ def test_open_raw_squeezes_singleton_number_dim(tmp_path):
         })
     with pytest.raises(ValueError, match="unsupported dimension 'number'"):
         _open_raw(p2)
+
+
+def test_era5_netcdf4_container_ingest(tmp_path):
+    """New-CDS layout end-to-end: an HDF5-container NetCDF written by
+    h5py (valid_time coord, descending latitude, CF-packed int16 fields)
+    prepares a wind cutout and converts — the closest offline stand-in
+    for real new-CDS bytes."""
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(0)
+    T, NY, NX = 24, 5, 7
+    lat = np.linspace(58.0, 57.0, NY)  # descending, as CDS delivers
+    lon = np.linspace(-2.0, -0.5, NX)
+    tvals = np.arange(T, dtype="i8")
+    fields = {
+        "u100": rng.random((T, NY, NX)) * 12 - 4,
+        "v100": rng.random((T, NY, NX)) * 12 - 4,
+        "u10": rng.random((T, NY, NX)) * 8 - 3,
+        "v10": rng.random((T, NY, NX)) * 8 - 3,
+        "fsr": rng.random((T, NY, NX)) * 0.5 + 0.01,
+    }
+    fn = tmp_path / "cds_new.nc"
+    with h5py.File(fn, "w") as f:
+        t = f.create_dataset("valid_time", data=tvals)
+        t.make_scale("valid_time")
+        t.attrs["units"] = "hours since 2013-06-01"
+        la = f.create_dataset("latitude", data=lat)
+        la.make_scale("latitude")
+        lo = f.create_dataset("longitude", data=lon)
+        lo.make_scale("longitude")
+        for name, arr in fields.items():
+            scale = float(np.ptp(arr) / 60000.0) or 1e-6
+            offset = float(arr.min() + 30000 * scale)
+            packed = np.round((arr - offset) / scale).astype("i2")
+            d = f.create_dataset(name, data=packed, chunks=(12, NY, NX),
+                                 compression="gzip")
+            d.attrs["scale_factor"] = scale
+            d.attrs["add_offset"] = offset
+            d.attrs["_FillValue"] = np.int16(-32767)
+            for i, s in enumerate((t, la, lo)):
+                d.dims[i].attach_scale(s)
+    c = Cutout(tmp_path / "cds_cut", module="era5",
+               x=slice(-2.0, -0.5), y=slice(57.0, 58.0),
+               time=slice("2013-06-01", "2013-06-01 23:00"),
+               era5_files=str(fn))
+    c.prepare(features=["wind"])
+    wnd = np.asarray(c.data["wnd100m"])
+    expect = np.sqrt(fields["u100"] ** 2 + fields["v100"] ** 2)[:, ::-1, :]
+    np.testing.assert_allclose(wnd, expect, rtol=2e-3)  # packing precision
+    out = c.wind("Vestas_V112_3MW", aggregate_time=None)
+    assert np.isfinite(np.asarray(out.values)).all()
