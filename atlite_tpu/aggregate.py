@@ -50,24 +50,20 @@ def _dense_spmm(flat_tc, dense_m):
     # accumulate at (at least) the input precision; on TPU f32 inputs this
     # keeps the MXU accumulator in f32
     acc = jnp.promote_types(flat_tc.dtype, jnp.float32)
-
-    def clean_dot(x):
-        # precision=HIGHEST keeps f32 inputs from being truncated to bf16
-        # on the MXU (measured ~6e-4 relative error otherwise)
-        return jnp.dot(x, dense_m.T, preferred_element_type=acc,
-                       precision=jax.lax.Precision.HIGHEST)
-
+    # UNCONDITIONAL formulation, deliberately no lax.cond: a cond
+    # materializes its (T, C) operands and breaks producer fusion with
+    # the physics pipeline — measured ~25% off the whole step; the
+    # indicator matmul against the constant-folded structure mask is
+    # MXU-cheap and the isnan/where fuse into the producer.
     nan_mask = jnp.isnan(flat_tc)
-
-    def with_nans(_):
-        out = clean_dot(jnp.where(nan_mask, 0, flat_tc))
-        touched = jnp.dot(nan_mask.astype(acc), (dense_m != 0).T.astype(acc),
-                          preferred_element_type=acc)
-        return jnp.where(touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype),
-                         out)
-
-    return jax.lax.cond(jnp.any(nan_mask), with_nans,
-                        lambda _: clean_dot(flat_tc), None)
+    # precision=HIGHEST keeps f32 inputs from being truncated to bf16
+    # on the MXU (measured ~6e-4 relative error otherwise)
+    out = jnp.dot(jnp.where(nan_mask, 0, flat_tc), dense_m.T,
+                  preferred_element_type=acc,
+                  precision=jax.lax.Precision.HIGHEST)
+    touched = jnp.dot(nan_mask.astype(acc), (dense_m != 0).T.astype(acc),
+                      preferred_element_type=acc)
+    return jnp.where(touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype), out)
 
 
 def spmm(matrix: sp.spmatrix, flat_tc):
