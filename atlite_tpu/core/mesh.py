@@ -302,6 +302,11 @@ def sharded_aggregate(mesh, matrix_dense, shape=None):
     flatten-first formulation would instead force an all-to-all reshard
     of the whole field.  ``matrix_dense`` is (B, Y*X) row-major over
     (y, x) (the reference's stacked ordering) or (B, Y, X).
+
+    NOTE: this sharded contraction spreads a NaN cell to every bus
+    (NaN * 0-weight); the single-device aggregate.py paths implement the
+    reference's sparse NaN semantics (only touching buses) — sanitize
+    NaNs before sharded aggregation if that distinction matters.
     """
     matrix_dense = np.asarray(matrix_dense)
     if matrix_dense.ndim == 2 and shape is not None:
