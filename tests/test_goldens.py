@@ -176,3 +176,59 @@ def test_power_curve_datasheet_points():
     np.testing.assert_allclose(
         out, [0.005, 1.375, (1.375 + 1.950) / 2, 1.950, 3.06, 0.0],
         rtol=1e-6, atol=1e-9)
+
+
+def test_oedb_turbine_download_mocked(monkeypatch):
+    """OEDB turbine retrieval against a mocked HTTP payload (reference
+    resource.py:375-509 semantics): search filters, ambiguity errors,
+    kW->MW curve scaling, multi-value hub-height int-mean, registry
+    insertion.  Live-endpoint drift stays a network-blocked residual."""
+    import json as _json
+
+    import atlite_tpu.resource as R
+
+    rows = [
+        {"id": 7, "name": "E-101", "turbine_type": "E-101/3050",
+         "manufacturer": "Enercon", "has_power_curve": True,
+         "power_curve_wind_speeds": "[3, 6, 9, 12]",
+         "power_curve_values": "[0, 500, 2000, 3050]",
+         "hub_height": "98;103", "source": "datasheet"},
+        {"id": 8, "name": "V112", "turbine_type": "V112/3000",
+         "manufacturer": "Vestas", "has_power_curve": True,
+         "power_curve_wind_speeds": "[3, 12]",
+         "power_curve_values": "[0, 3000]",
+         "hub_height": "", "source": "datasheet"},
+        {"id": 9, "name": "NoCurve", "turbine_type": "X",
+         "manufacturer": "Y", "has_power_curve": False,
+         "power_curve_wind_speeds": None, "power_curve_values": None,
+         "hub_height": "100", "source": "z"},
+    ]
+
+    class _Resp:
+        def json(self):
+            return rows
+
+    import requests
+
+    monkeypatch.setattr(requests, "get", lambda url: _Resp())
+    monkeypatch.setattr(R, "_oedb_turbines", None)
+
+    conf = R.get_oedb_windturbineconfig("E-101")
+    assert conf["hub_height"] == 100.0  # int mean of 98;103 (reference)
+    np.testing.assert_allclose(conf["POW"], [0.0, 0.5, 2.0, 3.05])  # kW->MW
+    np.testing.assert_allclose(conf["V"], [3, 6, 9, 12])
+    assert conf["P"] == 3.05
+    assert "Enercon_E_101_3050" in R.windturbines  # registry, charmap'd
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="No turbine found"):
+        R.get_oedb_windturbineconfig("does-not-exist")
+    with _pytest.raises(RuntimeError, match="unambiguous"):
+        R.get_oedb_windturbineconfig(turbine_type="1")  # matches both
+    # id search is exact; missing hub_height defaults to 100 with warning
+    conf2 = R.get_oedb_windturbineconfig(8)
+    assert conf2["hub_height"] == 100
+    # the cached frame excludes rows without power curves
+    with _pytest.raises(RuntimeError, match="No turbine found"):
+        R.get_oedb_windturbineconfig("NoCurve")
