@@ -241,27 +241,46 @@ def _read_geotiff(path) -> "Raster":
     else:
         raise ValueError("not a TIFF file")
     magic, = struct.unpack(endian + "H", data[2:4])
-    if magic == 43:
-        raise ValueError("BigTIFF not supported")
-    if magic != 42:
+    if magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        big = True
+        osize, reserved = struct.unpack(endian + "HH", data[4:8])
+        if osize != 8 or reserved != 0:
+            raise ValueError("malformed BigTIFF header")
+        ifd_off, = struct.unpack(endian + "Q", data[8:16])
+    elif magic == 42:
+        big = False
+        ifd_off, = struct.unpack(endian + "I", data[4:8])
+    else:
         raise ValueError("not a TIFF file")
-    ifd_off, = struct.unpack(endian + "I", data[4:8])
 
     tags = {}
-    n_entries, = struct.unpack(endian + "H", data[ifd_off:ifd_off + 2])
-    for i in range(n_entries):
-        e = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
+    if big:
+        n_entries, = struct.unpack(endian + "Q", data[ifd_off:ifd_off + 8])
+        if n_entries > 65536:
+            raise ValueError(f"implausible BigTIFF entry count {n_entries}")
+        ent0, esz, inline = ifd_off + 8, 20, 8
+    else:
+        n_entries, = struct.unpack(endian + "H", data[ifd_off:ifd_off + 2])
+        ent0, esz, inline = ifd_off + 2, 12, 4
+    for i in range(int(n_entries)):
+        e = ent0 + esz * i
+        if big:
+            tag, typ = struct.unpack(endian + "HH", data[e:e + 4])
+            count, = struct.unpack(endian + "Q", data[e + 4:e + 12])
+        else:
+            tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
         size = _TYPE_SIZES.get(typ, 1) * count
         if size > len(data):
             # a corrupt count would otherwise build a multi-GB struct
             # format string below
             raise ValueError(
                 f"TIFF tag {tag}: {count} values exceed the file size")
-        if size <= 4:
-            payload = data[e + 8:e + 8 + size]
+        voff = e + (12 if big else 8)
+        if size <= inline:
+            payload = data[voff:voff + size]
         else:
-            off, = struct.unpack(endian + "I", data[e + 8:e + 12])
+            off, = struct.unpack(endian + ("Q" if big else "I"),
+                                 data[voff:voff + (8 if big else 4)])
             payload = data[off:off + size]
         name = _TAGS.get(tag)
         if name is None:

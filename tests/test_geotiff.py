@@ -140,3 +140,25 @@ def test_geometry_mask_accepts_geojson_dict():
     m = geometry_mask(gj, (10, 10), Affine(0.1, 0, 0, 0, -0.1, 1),
                       invert=True)
     assert m.all()  # the unit square covers the whole lattice
+
+
+def test_bigtiff_read_vs_pillow(tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) reads —
+    GEBCO-scale global rasters ship as BigTIFF; validated against
+    Pillow-written files (deflate + uncompressed, u8/u16)."""
+    PIL = pytest.importorskip("PIL.Image")
+
+    from atlite_tpu.gis.geotiff import read_geotiff
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 200, (45, 37)).astype(np.uint8)
+    fn = tmp_path / "big.tif"
+    # NB: Pillow honors big_tiff only on its uncompressed writer (the
+    # libtiff-compressed path silently emits classic TIFF)
+    PIL.fromarray(a).save(fn, format="TIFF", big_tiff=True)
+    assert fn.read_bytes()[2:4] in (b"\x2b\x00", b"\x00\x2b")
+    np.testing.assert_array_equal(read_geotiff(fn).data, a)
+    b = rng.integers(0, 60000, (30, 41)).astype(np.uint16)
+    fn2 = tmp_path / "big16.tif"
+    PIL.fromarray(b).save(fn2, format="TIFF", big_tiff=True)
+    np.testing.assert_array_equal(read_geotiff(fn2).data, b)
