@@ -208,9 +208,20 @@ def _decompress(raw, compression, decoded_size):
 def _unpredict(arr, predictor):
     if predictor == 2:  # horizontal differencing
         np.cumsum(arr, axis=-1, out=arr, dtype=arr.dtype)
-    elif predictor == 3:  # floating-point byte-shuffle predictor
-        raise ValueError("TIFF floating-point predictor (3) not supported")
     return arr
+
+
+def _unpredict_fp(raw, width, bpp):
+    """TIFF floating-point predictor (3): per row, undo horizontal byte
+    differencing over the byte-split streams (stream order MSB-first),
+    then reassemble samples as BIG-endian bytes — libtiff's layout,
+    pinned against Pillow's decode in tests/test_geotiff.py."""
+    stride = width * bpp
+    rows = len(raw) // stride
+    a = np.frombuffer(raw[:rows * stride], np.uint8).reshape(rows, stride)
+    rec = (np.cumsum(a, axis=1, dtype=np.uint64) % 256).astype(np.uint8)
+    streams = rec.reshape(rows, bpp, width)       # stream 0 = MSB
+    return np.moveaxis(streams, 1, 2).tobytes()   # (rows, width, bpp) bytes
 
 
 def read_geotiff(path) -> "Raster":
@@ -327,8 +338,17 @@ def _read_geotiff(path) -> "Raster":
         tiles_across = -(-width // tw)
         for ti, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o:o + c], compression, tw * th * bpp)
-            tile = np.frombuffer(raw, dtype=dtype, count=tw * th).reshape(th, tw)
-            tile = _unpredict(tile.copy(), predictor)
+            if predictor == 3:
+                if dtype.kind != "f":
+                    raise ValueError("fp predictor on non-float samples")
+                raw = _unpredict_fp(raw, tw, bpp)
+                tile = np.frombuffer(raw, dtype=f">f{bpp}",
+                                     count=tw * th).reshape(th, tw)
+                tile = tile.astype(dtype.newbyteorder("="))
+            else:
+                tile = np.frombuffer(raw, dtype=dtype,
+                                     count=tw * th).reshape(th, tw)
+                tile = _unpredict(tile.copy(), predictor)
             r0 = (ti // tiles_across) * th
             c0 = (ti % tiles_across) * tw
             out[r0:r0 + th, c0:c0 + tw] = tile[: height - r0, : width - c0]
@@ -340,9 +360,19 @@ def _read_geotiff(path) -> "Raster":
         for o, c in zip(offs, cnts):
             nrows = min(rps, height - row)
             raw = _decompress(data[o:o + c], compression, nrows * width * bpp)
-            strip = np.frombuffer(raw, dtype=dtype,
-                                  count=nrows * width).reshape(nrows, width)
-            strip = _unpredict(strip.copy(), predictor)
+            if predictor == 3:
+                if dtype.kind != "f":
+                    raise ValueError("fp predictor on non-float samples")
+                raw = _unpredict_fp(raw, width, bpp)
+                strip = np.frombuffer(raw, dtype=f">f{bpp}",
+                                      count=nrows * width).reshape(nrows,
+                                                                   width)
+                strip = strip.astype(dtype.newbyteorder("="))
+            else:
+                strip = np.frombuffer(raw, dtype=dtype,
+                                      count=nrows * width).reshape(nrows,
+                                                                   width)
+                strip = _unpredict(strip.copy(), predictor)
             out[row:row + nrows] = strip
             row += nrows
 

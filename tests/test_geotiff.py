@@ -162,3 +162,55 @@ def test_bigtiff_read_vs_pillow(tmp_path):
     fn2 = tmp_path / "big16.tif"
     PIL.fromarray(b).save(fn2, format="TIFF", big_tiff=True)
     np.testing.assert_array_equal(read_geotiff(fn2).data, b)
+
+
+def test_fp_predictor3_matches_pillow(tmp_path):
+    """TIFF floating-point predictor (3, common on float elevation
+    GeoTIFFs): our decode equals Pillow/libtiff's on a spec-crafted
+    deflate file."""
+    import io as _io
+    import struct
+    import zlib
+
+    PIL = pytest.importorskip("PIL.Image")
+    from atlite_tpu.gis.geotiff import read_geotiff
+
+    h, w = 6, 7
+    rng = np.random.default_rng(1)
+    a = (rng.random((h, w)) * 1000 - 200).astype("<f4")
+
+    def enc_row(row):
+        arr = np.frombuffer(row.astype("<f4").tobytes(),
+                            np.uint8).reshape(w, 4)
+        streams = arr[:, ::-1].T.reshape(-1)  # MSB-first byte streams
+        diff = np.diff(streams.astype(np.int16),
+                       prepend=streams[:1].astype(np.int16)) % 256
+        diff[0] = streams[0]
+        return diff.astype(np.uint8).tobytes()
+
+    comp = zlib.compress(b"".join(enc_row(a[r]) for r in range(h)))
+
+    def tag(t, typ, cnt, vb):
+        return struct.pack("<HHI", t, typ, cnt) + vb.ljust(4, b"\0")
+
+    n = 11
+    off_data = 8 + 2 + 12 * n + 4
+    entries = [
+        tag(256, 3, 1, struct.pack("<H", w)),
+        tag(257, 3, 1, struct.pack("<H", h)),
+        tag(258, 3, 1, struct.pack("<H", 32)),
+        tag(259, 3, 1, struct.pack("<H", 8)),
+        tag(262, 3, 1, struct.pack("<H", 1)),
+        tag(273, 4, 1, struct.pack("<I", off_data)),
+        tag(277, 3, 1, struct.pack("<H", 1)),
+        tag(278, 3, 1, struct.pack("<H", h)),
+        tag(279, 4, 1, struct.pack("<I", len(comp))),
+        tag(317, 3, 1, struct.pack("<H", 3)),
+        tag(339, 3, 1, struct.pack("<H", 3)),
+    ]
+    buf = (b"II*\0" + struct.pack("<I", 8) + struct.pack("<H", n)
+           + b"".join(entries) + struct.pack("<I", 0) + comp)
+    theirs = np.asarray(PIL.open(_io.BytesIO(buf)))
+    np.testing.assert_array_equal(theirs, a)  # the fixture is right
+    ours = read_geotiff(buf)
+    np.testing.assert_array_equal(ours.data, a)
