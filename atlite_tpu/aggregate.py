@@ -42,11 +42,10 @@ def _dense_spmm(flat_tc, dense_m):
     """Dense-matrix aggregation with the reference's SPARSE NaN
     semantics: scipy's csr matmul skips structural zeros, so a NaN cell
     poisons only the buses whose region contains it — a plain dense
-    matmul would spread it to EVERY bus (NaN * 0 = NaN).  The NaN path
-    costs a second matmul and runs only when the chunk actually holds a
-    NaN (lax.cond); structure is taken as value != 0 (explicit stored
-    zeros, which scipy would let propagate NaN, are indistinguishable
-    after densification — documented divergence)."""
+    matmul would spread it to EVERY bus (NaN * 0 = NaN).  Structure is
+    taken as value != 0 (explicit stored zeros, which scipy would let
+    propagate NaN, are indistinguishable after densification —
+    documented divergence)."""
     # accumulate at (at least) the input precision; on TPU f32 inputs this
     # keeps the MXU accumulator in f32
     acc = jnp.promote_types(flat_tc.dtype, jnp.float32)
@@ -124,45 +123,20 @@ def spmm_closure(matrix, resident=True):
     nb, W = banded_width(matrix)
     block_b = 128
     if nb * block_b * W <= (B * C) // 2:
+        from atlite_tpu.ops.bsr_spmm import stage_banded
+
         banded = to_banded(matrix, force_w=W or None)
         bstate = {}
 
         def run_banded(flat):
-            # stage the banded structure ONCE (keyed by dtype) — plain
-            # banded_spmm re-uploads bands/tile_idx/inverse every call,
-            # which on the chunked streaming path would re-send the whole
-            # matrix per time chunk (r4 review finding)
-            from atlite_tpu.ops.bsr_spmm import _banded_spmm
-
+            # stage the banded structure ONCE (keyed by dtype); the NaN
+            # semantics live in ops.bsr_spmm.banded_spmm — one
+            # implementation, not two copies to keep in lockstep
             flat = jnp.asarray(flat)
-            if "bands" not in bstate or bstate["dt"] != flat.dtype:
+            if "staged" not in bstate or bstate["dt"] != flat.dtype:
                 bstate["dt"] = flat.dtype
-                bstate["bands"] = jnp.asarray(banded["bands"],
-                                              dtype=flat.dtype)
-                bstate["tidx"] = jnp.asarray(banded["tile_idx"])
-                bstate["inv"] = jnp.asarray(np.pad(
-                    banded["inverse"],
-                    (0, banded["nb"] * banded["block_b"] - B),
-                    constant_values=banded["nb"] * banded["block_b"] - 1))
-            kw = dict(align=banded["align"], c_pad=banded["C_pad"])
-            nan_mask = jnp.isnan(flat)
-
-            def with_nans(_):
-                out = _banded_spmm(jnp.where(nan_mask, 0, flat),
-                                   bstate["bands"], bstate["tidx"],
-                                   bstate["inv"], **kw)
-                touched = _banded_spmm(
-                    nan_mask.astype(flat.dtype),
-                    (bstate["bands"] != 0).astype(flat.dtype),
-                    bstate["tidx"], bstate["inv"], **kw)
-                return jnp.where(
-                    touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype), out)
-
-            out = jax.lax.cond(
-                jnp.any(nan_mask), with_nans,
-                lambda _: _banded_spmm(flat, bstate["bands"], bstate["tidx"],
-                                       bstate["inv"], **kw), None)
-            return out[:B].T
+                bstate["staged"] = stage_banded(banded, flat.dtype)
+            return banded_spmm(banded, flat, staged=bstate["staged"])
 
         return run_banded
 

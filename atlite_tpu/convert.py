@@ -259,8 +259,10 @@ def convert_and_aggregate(
         # reference: (results / capacity.where(capacity != 0)).fillna(0)
         # (convert.py:264-266) — NaN hours and zero-capacity buses both
         # come back as 0.0 in per-unit terms
-        results = results.copy(np.nan_to_num(results.values * scale[:, None],
-                                             nan=0.0))
+        scaled = results.values * scale[:, None]
+        # only NaN -> 0 (reference fillna(0)); nan_to_num would also
+        # silently turn inf into 1.8e308
+        results = results.copy(np.where(np.isnan(scaled), 0.0, scaled))
         results.attrs["units"] = "p.u."
     else:
         results.attrs["units"] = "MW"

@@ -81,12 +81,15 @@ def _end_of(label):
     too — length-based matching silently reduced them to one instant."""
     label = str(label).strip()
     ts = pd.Timestamp(label)
-    nparts = len(label.replace("T", " ").split(" ")[0].split("-"))
-    if " " in label or "T" in label or nparts > 3:
-        return ts  # explicit time component: an instant
-    freq = {1: "Y", 2: "M", 3: "D"}.get(nparts)
-    if freq is None:
+    import re as _re
+
+    m = _re.fullmatch(r"(\d{4})(?:-(\d{1,2}))?(?:-(\d{1,2}))?", label)
+    if m is None:
+        # anything else ('2011Q1', explicit times, ...) is an instant —
+        # treating e.g. a quarter label as its YEAR over-selected months
         return ts
+    nparts = sum(1 for g in m.groups() if g is not None)
+    freq = {1: "Y", 2: "M", 3: "D"}[nparts]
     per = pd.Period(label, freq=freq)
     if ts != per.start_time:
         return ts

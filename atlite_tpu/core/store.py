@@ -173,7 +173,9 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
     live = {var_path(path, manifest, n).name for n in manifest["variables"]}
     live.add(MANIFEST)
     for fn in path.iterdir():
-        if fn.name not in live and fn.suffix == ".npy":
+        if fn.name not in live and fn.suffix in (".npy", ".tmp"):
+            # .tmp: a hard crash between mkstemp and os.replace orphans
+            # a full-variable-size temp file
             try:
                 fn.unlink()
             except OSError:

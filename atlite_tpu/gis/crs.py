@@ -639,7 +639,10 @@ def _resolve(key):
             return True
     if isinstance(key, tuple) and key:
         if key[0] == "cea":
-            fwd, inv = make_cea(*key[1:])
+            *cea_params, cea_datum = key[1:]
+            fwd, inv = make_cea(*cea_params)
+            if cea_datum is not None:
+                fwd, inv = _with_datum(fwd, inv, cea_datum)
         elif key[0] == "tmerc":
             fwd, inv = _make_tmerc(*key[1:])
         elif key[0] == "lcc":
@@ -745,8 +748,8 @@ def _proj_dict_key(d):
                 and ellps == "grs80" and datum is None:
             return "cea"  # the default basin-area key
         # EASE-Grid-family CRSs carry +lat_ts — dropping it shifts
-        # coordinates by hundreds of km
-        return ("cea", lat_ts, lon0, fe, fn, ellps)
+        # coordinates by hundreds of km; the datum must travel too
+        return ("cea", lat_ts, lon0, fe, fn, ellps, datum)
     if proj == "utm":
         zone = int(d["zone"])
         south = bool(d.get("south", False))

@@ -54,6 +54,12 @@ def shapes_index(shapes):
     if isinstance(shapes, dict):
         return pd.Index(list(shapes))
     if isinstance(shapes, G.Geometry) or hasattr(shapes, "__geo_interface__"):
+        gi = getattr(shapes, "__geo_interface__", None)
+        if isinstance(gi, dict) and gi.get("type") == "FeatureCollection":
+            # must mirror _iter_shapes' per-feature iteration or the
+            # matrix shape/row-index disagree (r4 review)
+            return pd.Index([f.get("id", i)
+                             for i, f in enumerate(gi["features"])])
         return pd.RangeIndex(1)
     return pd.RangeIndex(len(shapes))
 

@@ -182,6 +182,11 @@ def projected_mask(raster: Raster, geom, transform=None, shape=None, crs=None,
     differs from the crop's.
     """
     nodata = raster.nodata if nodata is None else nodata
+    if nodata is None:
+        # the reference's projected_mask defaults to 255 when no nodata
+        # is declared (gis.py:204) — np.where(outside, None, ...) would
+        # otherwise produce an object array / TypeError
+        nodata = 255
     geoms = geom if isinstance(geom, (list, tuple)) else [geom]
     geoms = [G.parse_geometry(g) for g in geoms]
     if geom_crs is not None and normalize_crs(geom_crs) != normalize_crs(raster.crs):

@@ -53,14 +53,20 @@ def unpack_cf(arr, vattrs):
     ERA5 fields as int16 with these attrs — using the raw integers is a
     silent misdecode (r4 review)."""
     vattrs = dict(vattrs or {})
-    fill = vattrs.pop("_FillValue", vattrs.pop("missing_value", None))
+    # mask BOTH codes (xarray masks _FillValue and missing_value; the
+    # earlier nested-pop evaluated missing_value unconditionally and
+    # masked only one of them, r4 review)
+    fills = [v for v in (vattrs.pop("_FillValue", None),
+                         vattrs.pop("missing_value", None)) if v is not None]
     scale = vattrs.pop("scale_factor", None)
     offset = vattrs.pop("add_offset", None)
-    if fill is None and scale is None and offset is None:
+    if not fills and scale is None and offset is None:
         return arr, vattrs
     a = np.asarray(arr)
     out = a.astype(np.float64)
-    if fill is not None and a.dtype.kind in "iuf":
+    for fill in fills:
+        if a.dtype.kind not in "iuf":
+            continue
         try:
             out = np.where(a == a.dtype.type(fill), np.nan, out)
         except (TypeError, ValueError, OverflowError):

@@ -231,22 +231,37 @@ def _banded_spmm(flat_tc, bands, tile_idx, inverse, align, c_pad):
     return out[inverse]  # back to caller row order
 
 
-def banded_spmm(banded, flat_tc):
-    """Aggregate (T, C) -> (T, B) with a banded matrix (see to_banded).
-
-    Reference sparse NaN semantics: a NaN cell must poison only buses
-    whose rows hold an entry there (scipy csr skips structural zeros) —
-    the dense band blocks would otherwise spread it across the whole
-    128-row block.  The indicator pass runs only when a NaN is present
-    (lax.cond)."""
-    flat_tc = jnp.asarray(flat_tc)
-    bands = jnp.asarray(banded["bands"], dtype=flat_tc.dtype)
+def stage_banded(banded, dtype):
+    """Upload a banded structure's device arrays once (keyed by dtype by
+    the caller); returns the (bands, tile_idx, inverse) triple
+    banded_spmm consumes."""
+    bands = jnp.asarray(banded["bands"], dtype=dtype)
     tidx = jnp.asarray(banded["tile_idx"])
     inv = jnp.asarray(
         np.pad(banded["inverse"],
                (0, banded["nb"] * banded["block_b"] - banded["B"]),
                constant_values=banded["nb"] * banded["block_b"] - 1)
     )
+    return bands, tidx, inv
+
+
+def banded_spmm(banded, flat_tc, staged=None):
+    """Aggregate (T, C) -> (T, B) with a banded matrix (see to_banded).
+
+    Reference sparse NaN semantics: a NaN cell must poison only buses
+    whose rows hold an entry there (scipy csr skips structural zeros) —
+    the dense band blocks would otherwise spread it across the whole
+    128-row block.  The indicator pass runs only when a NaN is present
+    (lax.cond; unlike the fused dense path the banded operands are
+    materialized either way, so the cond costs no fusion).
+
+    ``staged`` takes a pre-uploaded stage_banded() triple — THE single
+    implementation of these semantics, reused by aggregate.spmm_closure's
+    resident branch."""
+    flat_tc = jnp.asarray(flat_tc)
+    if staged is None:
+        staged = stage_banded(banded, flat_tc.dtype)
+    bands, tidx, inv = staged
     kw = dict(align=banded["align"], c_pad=banded["C_pad"])
     nan_mask = jnp.isnan(flat_tc)
 

@@ -161,3 +161,15 @@ def test_prepare_cleans_auto_tmpdir(monkeypatch, tmp_path):
     c.prepare(features=["wind"])
     assert made, "prepare() did not create its own tmpdir"
     assert not Path(made[0]).exists(), "prepare() leaked its tmpdir"
+
+
+def test_end_of_rejects_non_iso_partials():
+    """r4 final review: '2011Q1' must not be treated as the whole YEAR
+    (pandas slices it to the quarter; over-selecting 9 months silently
+    was worse than treating it as an instant)."""
+    import pandas as pd
+
+    from atlite_tpu.core.grid import _end_of
+
+    assert _end_of("2011Q1") == pd.Timestamp("2011-01-01")  # an instant
+    assert _end_of("2011-01") > pd.Timestamp("2011-01-31 23:00")

@@ -127,3 +127,15 @@ def test_new_projections_device_path_matches_host():
         xh, yh = crs.transform_points(lon, lat, 4326, key)
         np.testing.assert_allclose(np.asarray(X), xh, atol=2e-3)
         np.testing.assert_allclose(np.asarray(Y), yh, atol=2e-3)
+
+
+def test_cea_with_datum_matches_proj():
+    """r4 final review: +proj=cea +datum=potsdam must apply the DHDN
+    Helmert shift (the cea key previously dropped the datum, ~115 m
+    silent error).  cs2cs 9.1.1 gives (964863.148, 5613576.328) for
+    (10E, 50N); agreement at the documented few-meter Helmert accuracy
+    class."""
+    x, y = crs.transform_points([10.0], [50.0], 4326,
+                                "+proj=cea +lat_ts=30 +datum=potsdam")
+    np.testing.assert_allclose(x[0], 964863.148, atol=0.5)
+    np.testing.assert_allclose(y[0], 5613576.328, atol=0.5)

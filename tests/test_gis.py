@@ -632,3 +632,16 @@ def test_geotiff_untagged_nodata_stays_none(tmp_path):
                  4326, None)
     with pytest.raises(ValueError, match="axis-aligned"):
         write_geotiff(rot, tmp_path / "rot.tif")
+
+
+def test_projected_mask_nodata_none_defaults_255():
+    """r4 final review: a Raster with nodata=None (untagged GeoTIFF) must
+    produce a numeric uint8 mask (reference projected_mask default 255,
+    gis.py:204), not an object array / TypeError."""
+    from atlite_tpu.gis.raster import Raster, projected_mask
+
+    r = Raster(np.ones((10, 12), np.uint8),
+               Affine(0.1, 0, 0, 0, -0.1, 1.0), 4326, nodata=None)
+    masked, _ = projected_mask(r, [box(0.2, 0.2, 0.8, 0.8)], crs=4326)
+    assert masked.dtype != object
+    assert set(np.unique(masked)) <= {1, 255}

@@ -126,3 +126,31 @@ def test_r4_geometry_review_fixes():
               time=np.array(["2013-01-01"], dtype="datetime64[ns]"))
     with pytest.raises(ValueError, match="at least 2"):
         compute_indicatormatrix(g1, [G.box(-1, 0, 1, 2)])
+
+
+def test_featurecollection_matrix_shape_and_index():
+    """r4 final review: FeatureCollection inputs must give shapes_index
+    consistent with _iter_shapes (the mismatch crashed coo_matrix)."""
+    import numpy as np
+
+    from atlite_tpu.core.grid import Grid
+    from atlite_tpu.gis.matrix import compute_indicatormatrix
+
+    class FakeGDF:
+        __geo_interface__ = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "id": "a",
+                 "geometry": {"type": "Polygon", "coordinates":
+                              [[(0, 0), (2, 0), (2, 2), (0, 2)]]}},
+                {"type": "Feature", "id": "b",
+                 "geometry": {"type": "Polygon", "coordinates":
+                              [[(2, 0), (4, 0), (4, 2), (2, 2)]]}},
+            ],
+        }
+
+    g = Grid(x=np.arange(0.5, 4, 1.0), y=np.arange(0.5, 4, 1.0),
+             time=np.array(["2013-01-01"], dtype="datetime64[ns]"))
+    I = compute_indicatormatrix(g, FakeGDF())
+    assert I.shape == (2, 16)
+    assert np.isclose(I.sum(), 8.0)  # each feature covers 4 full cells

@@ -532,3 +532,18 @@ def test_hdf5_netcdf4_square_variable_distinct_dims(tmp_path):
     dims, variables, _ = hdf5.read_netcdf4(tmp_path / "sq.h5")
     dn = variables["a"][0]
     assert len(set(dn)) == 2, dn
+
+
+def test_unpack_cf_masks_both_fill_codes():
+    """r4 final review: _FillValue AND missing_value must both become
+    NaN (the nested pop masked only one), and untagged-GeoTIFF-style
+    nodata=None rasters still produce numeric projected masks."""
+    from atlite_tpu.io.netcdf import unpack_cf
+
+    a = np.array([100, -32767, -32766, 200], dtype=np.int16)
+    out, attrs = unpack_cf(a, {"_FillValue": np.int16(-32767),
+                               "missing_value": np.int16(-32766),
+                               "scale_factor": 0.01, "add_offset": 300.0})
+    assert np.isnan(out[1]) and np.isnan(out[2])
+    np.testing.assert_allclose(out[[0, 3]], [301.0, 302.0])
+    assert "missing_value" not in attrs and "_FillValue" not in attrs
