@@ -371,7 +371,7 @@ def _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds):
     whole days independently and the concatenation equals the unchunked
     result (reference day semantics: convert.py:428-443)."""
     T = len(cutout.grid_desc.time)
-    if convert_func not in (convert_heat_demand, convert_cooling_demand):
+    if not getattr(convert_func, "_day_aligned", False):
         return list(range(0, T, time_chunk)) + [T]
     _, ids = timeutil.daily_groups(cutout.grid_desc.time,
                                    convert_kwds.get("hour_shift", 0.0))
@@ -437,7 +437,10 @@ def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
     # their day-aligned variable chunks (their daily resample must not see
     # repeated hours).
     windows = [[bounds[i], bounds[i + 1], 0] for i in range(len(bounds) - 1)]
-    if convert_func not in (convert_heat_demand, convert_cooling_demand) \
+    # only converters EXPLICITLY marked elementwise-in-time get the slide:
+    # a future time-coupled converter routed through here fails safe (its
+    # odd-shaped tail chunk retraces, but computes on the right window)
+    if getattr(convert_func, "_time_elementwise", False) \
             and len(windows) > 1:
         t0_l, t1_l, _ = windows[-1]
         if t1_l - t0_l < time_chunk and T >= time_chunk:
@@ -988,3 +991,20 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
         coords={"name": df.index, "time": cutout.grid_desc.time_index},
         dims=("name", "time"), attrs={"units": "A"},
     )
+
+
+# Streaming contracts (consumed by _chunk_bounds / _chunked_convert):
+# converters marked _time_elementwise treat every hour independently, so the
+# streamer may slide the tail window back to a full chunk and drop the
+# overlapping prefix; _day_aligned converters resample whole days and stream
+# over day-aligned variable-size chunks instead.  A converter with neither
+# marker streams on fixed boundaries with an odd-shaped (retraced) tail —
+# slower, never wrong.
+for _f in (convert_wind, convert_pv, convert_irradiation, convert_solar_thermal,
+           convert_csp, convert_temperature, convert_soil_temperature,
+           convert_dewpoint_temperature, convert_coefficient_of_performance,
+           convert_runoff):
+    _f._time_elementwise = True
+for _f in (convert_heat_demand, convert_cooling_demand):
+    _f._day_aligned = True
+del _f

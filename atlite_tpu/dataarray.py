@@ -139,7 +139,10 @@ class DataArray:
                     # partial labels ("2013-01" = the whole month), the
                     # xarray idiom every converter result supports
                     sl = idx.slice_indexer(v.start, v.stop)
-                    isels[d] = np.arange(len(idx))[sl]
+                    pos = np.arange(len(idx))[sl]
+                    if v.step is not None:
+                        pos = pos[::v.step]
+                    isels[d] = pos
                     continue
                 lo, hi = v.start, v.stop
                 mask = np.ones(len(idx), dtype=bool)

@@ -283,6 +283,8 @@ def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
         # window the PIP rasterization to the layer's bbox (+buffer
         # margin): a small protected area on a country-scale lattice
         # otherwise pays O(all pixels x edges)
+        if not d["geometry"]:
+            continue  # empty layer is a no-op (nothing to exclude)
         margin = (int(d["buffer"] / excluder.res) + 2) if d["buffer"] else 1
         gx0, gy0, gx1, gy1 = _total_bounds(d["geometry"])
         c0 = int(np.floor((gx0 - transform.c) / transform.a)) - margin

@@ -201,7 +201,7 @@ def _chunk_btree(buf, chunk_entries, rank, shape, chunk_dims):
         level += 1
 
 
-def _group_btree(buf, names_sorted, name_offsets, ohdr_addrs):
+def _group_btree(buf, names_sorted, ohdr_addrs):
     """Write local-heap + SNODs + v1 group b-tree; returns (btree, heap)."""
     # ---- local heap: offset 0 holds the empty string (b-tree key 0)
     heap_data = bytearray(b"\x00" * 8)
@@ -434,7 +434,7 @@ def write_netcdf4(path, dims, variables, attrs=None, *, complevel=4,
 
     # ---------------- root group
     names_sorted = sorted(ohdr_addrs)
-    btree, heap = _group_btree(buf, names_sorted, None, ohdr_addrs)
+    btree, heap = _group_btree(buf, names_sorted, ohdr_addrs)
     root_msgs = [_msg(0x0011, struct.pack("<QQ", btree, heap))]
     root_msgs.append(_scalar_attr(
         "_NCProperties", "version=2,netcdf=4.9.2,hdf5=1.12.2"))

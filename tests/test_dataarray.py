@@ -148,3 +148,17 @@ def test_sel_string_datetime_labels():
     # exact-timestamp scalar still collapses the dim
     s4 = da.sel(time=np.datetime64("2013-01-01T05:00"))
     assert np.ndim(s4.values) == 0 and float(s4.values) == 5.0
+
+
+def test_sel_datetime_slice_step():
+    """r5 advisor: a user-supplied slice.step on a DatetimeIndex slice was
+    silently ignored (every element returned)."""
+    import pandas as pd
+
+    from atlite_tpu.dataarray import DataArray
+
+    times = pd.date_range("2013-01-01", periods=48, freq="h").values
+    da = DataArray(np.arange(48.0), coords={"time": times}, dims=("time",))
+    s = da.sel(time=slice("2013-01-01", "2013-01-02", 3))
+    assert len(s.values) == 16
+    np.testing.assert_array_equal(s.values, np.arange(0.0, 48.0, 3))
