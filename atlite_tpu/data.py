@@ -57,10 +57,15 @@ def available_features(module=None):
     return pd.Series([v for _, _, v in rows], idx, dtype=object)
 
 
-def get_features(cutout, module, features, tmpdir=None, **params):
+def get_features(cutout, module, features, data_format=None, tmpdir=None,
+                 monthly_requests=False, concurrent_requests=False, **params):
     """Load (but do not persist) the requested features from a module
-    (reference data.py:27-73).  Returns {var: (dims, array)}."""
+    (reference data.py:27-73, same positional signature).  Returns
+    {var: (dims, array)}."""
+    del data_format  # accepted for signature parity (one store format here)
     mod = datamodules[module]
+    params.setdefault("monthly_requests", monthly_requests)
+    params.setdefault("concurrent_requests", concurrent_requests)
     out = {}
     for feature in features:
         result = mod.get_data(cutout, feature, tmpdir=tmpdir,

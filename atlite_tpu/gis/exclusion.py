@@ -128,8 +128,8 @@ class ExclusionContainer:
 
     def plot_shape_availability(self, geometry, ax=None, set_title=True,
                                 dst_transform=None, dst_crs=None,
-                                dst_shape=None, geometry_crs=4326,
-                                show_kwargs=None, plot_kwargs=None):
+                                dst_shape=None, show_kwargs=None,
+                                plot_kwargs=None, geometry_crs=4326):
         """Plot the eligible area for one or more geometries
         (reference gis.py:585-658)."""
         import matplotlib.pyplot as plt
