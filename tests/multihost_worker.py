@@ -108,6 +108,42 @@ def main():
         print(f"proc {proc_id}: STORE OK (read {read}/{global_bytes} bytes)",
               flush=True)
 
+        # --- streamed pipeline END-TO-END (r4 verdict item 5): store
+        # scatter -> sharded wind converter -> distributed banded
+        # aggregation -> ONE (T, B) result, equal to a single device
+        import jax.numpy as jnp
+
+        from atlite_tpu.core.store import read_store
+        from atlite_tpu.physics import wind as wind_kernels
+
+        _, raw, _, _ = read_store(store_path)
+        Ts, Ys, Xs = np.shape(raw["wnd100m"])
+        wind_vars = ["wnd100m", "wnd10m", "roughness"]
+        fields_s = {v: comm.from_store(mesh, field_spec(), store_path, v)
+                    for v in wind_vars}
+        V2 = np.arange(0.0, 26.0, 0.5, dtype=np.float32)
+        POW2 = np.clip((V2**3 - 27.0) / (12.0**3 - 27.0), 0, 1).astype(np.float32)
+        POW2[V2 >= 25.0] = 0.0
+        mat2 = sp.random(5, Ys * Xs, density=0.2, random_state=3, format="csr")
+        agg2 = sharded_aggregate_banded(mesh, mat2, Ys, Xs, block_b=2, align=4)
+
+        def wind_cf(fl):
+            hub = wind_kernels.extrapolate_wind_speed(fl, 80.0)
+            return wind_kernels.power_curve(hub, jnp.asarray(V2),
+                                            jnp.asarray(POW2), 1.0)
+
+        with mesh:
+            cf_s = jax.jit(wind_cf)(fields_s)
+            out2 = agg2(cf_s)
+        got2 = comm.allgather(out2)
+        with jax.default_device(dev0):
+            cf1 = jax.jit(wind_cf)(
+                {v: put0(np.asarray(raw[v], dtype=np.float32))
+                 for v in wind_vars})
+        exp2 = np.asarray(cf1).reshape(Ts, -1) @ mat2.toarray().T
+        np.testing.assert_allclose(got2, exp2, rtol=2e-4, atol=1e-5)
+        print(f"proc {proc_id}: PIPELINE OK", flush=True)
+
     comm.barrier("done")
     print(f"proc {proc_id}: MULTIHOST OK", flush=True)
 

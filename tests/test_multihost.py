@@ -63,3 +63,4 @@ def test_two_process_mesh_equals_single_device(nproc, local_devices, tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "MULTIHOST OK" in out, f"worker {i} incomplete:\n{out}"
         assert "STEP OK" in out and "AGG OK" in out and "STORE OK" in out
+        assert "PIPELINE OK" in out, f"worker {i} skipped streamed stage:\n{out}"
