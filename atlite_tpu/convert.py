@@ -171,6 +171,7 @@ def convert_and_aggregate(
     func_name = convert_func.__name__.replace("convert_", "")
     logger.info(f"Convert and aggregate '{func_name}'.")
     time_chunk = convert_kwds.pop("time_chunk", None)
+    stream_pack = convert_kwds.pop("stream_pack", None)
     if time_chunk is None:
         # stored chunking (Cutout(..., chunksize_time=N), the analog of
         # the reference's persisted dask chunks) is the streaming default
@@ -187,7 +188,7 @@ def convert_and_aggregate(
             )
         if time_chunk:
             da = _chunked_convert(cutout, convert_func, time_chunk,
-                                  **convert_kwds)
+                                  stream_pack=stream_pack, **convert_kwds)
         else:
             da = convert_func(cutout, **convert_kwds)
         agg = "sum" if aggregate_time == "legacy" else aggregate_time
@@ -243,7 +244,8 @@ def convert_and_aggregate(
 
     if time_chunk:
         results = _chunked_convert(cutout, convert_func, time_chunk,
-                                   aggregate=(matrix, index), **convert_kwds)
+                                   aggregate=(matrix, index),
+                                   stream_pack=stream_pack, **convert_kwds)
     else:
         da = convert_func(cutout, **convert_kwds)
         results = aggregate_matrix(da, matrix=matrix, index=index)
@@ -386,7 +388,7 @@ def _chunk_bounds(cutout, convert_func, time_chunk, convert_kwds):
 
 
 def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
-                     **convert_kwds):
+                     stream_pack=None, **convert_kwds):
     """Stream the conversion over time chunks.
 
     For cutouts whose field tensors exceed HBM, each chunk's fields are
@@ -420,6 +422,19 @@ def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
             != "time"
         }
 
+    pack16 = None
+    if stream_pack is not None:
+        if stream_pack != "int16":
+            raise ValueError(
+                f"stream_pack must be 'int16' or None, got {stream_pack!r}")
+        # CF-packed staging: HALF the host->device wire bytes per chunk in
+        # exchange for int16 quantization (value ≈ code·scale + offset over
+        # each variable's GLOBAL range; log-space for wide-range positive
+        # variables).  The streamed full-year path is wire-bound through
+        # slow links (PERF.md), so this buys ~2x end-to-end there.
+        pack16 = cutout.pack_params(
+            list(needed) if needed is not None else list(cutout.data))
+
     agg_fn, index, bus_name = None, None, None
     if aggregate is not None:
         from atlite_tpu.aggregate import spmm_closure
@@ -448,7 +463,7 @@ def _chunked_convert(cutout, convert_func, time_chunk, aggregate=None,
     from concurrent.futures import ThreadPoolExecutor
 
     def stage(t0, t1):
-        sub = cutout.isel_time(t0, t1, only=needed)
+        sub = cutout.isel_time(t0, t1, only=needed, pack16=pack16)
         sub.fields()  # fused device_put happens on this (background) thread
         return sub
 
