@@ -13,9 +13,10 @@ is handled by atlite_tpu.io.netcdf.  This module implements:
 - GRIB2: sections 0-8 with grid templates 3.0 (regular lat/lon) and
   3.40 (regular + reduced Gaussian), product templates 4.0/4.8/4.11
   (+4.1/4.2 prefix), data representations 5.0 (simple packing), 5.4
-  (raw IEEE), 5.41 (PNG packing, Pillow-validated io/png.py) and 5.42
-  (CCSDS/AEC via libaec — eccodes' grib_ccsds) decode + encode, and
-  5.2/5.3 (complex packing / spatial differencing) decode.
+  (raw IEEE), 5.40 (JPEG2000 via libopenjp2 — eccodes' grib_jpeg),
+  5.41 (PNG packing, Pillow-validated io/png.py) and 5.42 (CCSDS/AEC
+  via libaec — eccodes' grib_ccsds) decode + encode, and 5.2/5.3
+  (complex packing / spatial differencing) decode.
 
 Format layouts follow the public WMO FM 92 GRIB specifications.
 """
@@ -666,6 +667,10 @@ def _decode_grib2_message(buf, off):
                 meta["ccsds_rsi"] = int.from_bytes(buf[d + 11:d + 13], "big")
             elif tmpl == 41:  # PNG packing: no extra descriptors
                 pass
+            elif tmpl == 40:  # JPEG2000 (grib_jpeg): octet 22 is the
+                # compression type (0 lossless / 1 lossy), 23 the target
+                # ratio; the codestream itself carries the real geometry
+                meta["jp2_lossy"] = buf[d + 10] == 1
             elif tmpl in (2, 3):
                 # complex packing descriptors (templates 5.2/5.3)
                 meta["group_split"] = buf[d + 10]
@@ -757,6 +762,17 @@ def _decode_grib2_data(data, meta):
             if x.size < n:
                 raise ValueError("PNG-packed field decoded short")
             x = x[:n]
+        elif tmpl == 40:  # JPEG2000 packing (template 5.40, grib_jpeg)
+            from atlite_tpu.io import jp2 as _jp2
+
+            if nbits == 0:  # constant field: value = ref everywhere
+                x = np.zeros(n)
+            else:
+                img = _jp2.decode(bytes(data))
+                x = img.astype(np.float64).reshape(-1)
+                if x.size < n:
+                    raise ValueError("JPEG2000-packed field decoded short")
+                x = x[:n]
         elif tmpl == 42:  # CCSDS lossless (template 5.42)
             if n < 0 or n > 100_000_000:
                 raise ValueError(f"implausible CCSDS sample count {n}")
@@ -1002,6 +1018,39 @@ def encode_grib2(records):
             s5 = (struct.pack(">IB", 21, 5) + struct.pack(">I", n_present)
                   + struct.pack(">H", 41) + struct.pack(">f", float(ref))
                   + _sm16_encode(e) + _sm16_encode(0) + bytes([nbits, 0]))
+        elif rec.get("jp2"):  # template 5.40 (grib_jpeg, J2K codestream)
+            # fixture ENCODER only, via Pillow's openjpeg integration —
+            # lazily imported so Pillow stays off the library import
+            # path; the production decode path is the ctypes libopenjp2
+            # binding (io/jp2.py), and tests pin the two against each
+            # other.
+            import os as _os
+            import tempfile as _tmp
+
+            from PIL import Image as _Image
+
+            n_present = len(x)
+            if n_present == nj * ni and pl is None:
+                hh, ww = nj, ni
+            else:  # bitmapped/reduced: near-square, zero-padded image
+                ww = min(n_present, 16384)
+                hh = -(-n_present // max(ww, 1))
+                x = np.pad(x, (0, hh * ww - n_present))
+            if nbits > 16:
+                raise ValueError("jp2 fixture encoder supports nbits <= 16")
+            fd, pth = _tmp.mkstemp(suffix=".j2k")
+            _os.close(fd)
+            try:
+                _Image.fromarray(x.astype(np.uint16).reshape(hh, ww)).save(
+                    pth, format="JPEG2000", irreversible=False)
+                with open(pth, "rb") as fh:
+                    payload = fh.read()
+            finally:
+                _os.unlink(pth)
+            s5 = (struct.pack(">IB", 23, 5) + struct.pack(">I", n_present)
+                  + struct.pack(">H", 40) + struct.pack(">f", float(ref))
+                  + _sm16_encode(e) + _sm16_encode(0)
+                  + bytes([nbits, 0, 0, 255]))  # lossless, ratio n/a
         elif rec.get("ccsds"):  # template 5.42 via libaec (grib_ccsds)
             from atlite_tpu.io import aec as _aec
 

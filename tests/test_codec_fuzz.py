@@ -230,15 +230,21 @@ def test_fuzz_native_codec_bindings():
                     pass
 
 
-@pytest.mark.parametrize("packing", ["png", "ccsds", "ieee"])
+@pytest.mark.parametrize("packing", ["png", "ccsds", "ieee", "jp2"])
 def test_fuzz_grib2_alt_packings(packing):
     """Corruption fuzz over the non-simple GRIB2 packings (5.41 PNG,
-    5.42 CCSDS, 5.4 IEEE)."""
+    5.42 CCSDS, 5.4 IEEE, 5.40 JPEG2000)."""
     if packing == "ccsds":
         from atlite_tpu.io import aec
 
         if not aec.available():
             pytest.skip("libaec not present")
+    if packing == "jp2":
+        from atlite_tpu.io import jp2
+
+        pytest.importorskip("PIL.Image")  # fixture encoder
+        if not jp2.available():
+            pytest.skip("libopenjp2 not present")
     rng = np.random.default_rng(12)
     vals = rng.random((8, 10)) * 30 + 270
     rec = {"shortName": "t2m", "values": vals,

@@ -395,6 +395,69 @@ def test_grib2_ccsds_template_542():
     np.testing.assert_allclose(got24, rec24["values"], atol=1e-3)
 
 
+def test_grib2_jp2_template_540():
+    """DRS template 5.40 (JPEG2000 via libopenjp2 — eccodes' grib_jpeg):
+    Pillow encodes the fixture codestream, the ctypes libopenjp2 binding
+    decodes it on the read path, bitmapped NaNs intact, quantization
+    bounded — the last refused packing family with an offline independent
+    oracle (r4 verdict item 3)."""
+    from atlite_tpu.io import jp2
+
+    pytest.importorskip("PIL.Image")  # fixture encoder
+    if not jp2.available():
+        pytest.skip("libopenjp2 not present")
+    rng = np.random.default_rng(7)
+    vals = rng.random((14, 19)) * 35 + 250
+    vals[4, 6] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(60, 47, 14), "lons": np.linspace(-4, 14, 19),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "jp2": True, "nbits": 16}
+    msg = grib.encode_grib2([rec])
+    out = grib.read(msg)
+    assert len(out) == 1
+    got = out[0]["values"]
+    assert np.isnan(got[4, 6])
+    m = np.isfinite(vals)
+    np.testing.assert_allclose(got[m], vals[m], atol=35 / 65535 * 1.01)
+
+    # cross-oracle on the very same embedded bytes: Pillow's own openjpeg
+    # integration must decode the section-7 codestream to the integers our
+    # binding feeds the GRIB reconstruction
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    soc = msg.find(b"\xff\x4f\xff\x51")
+    eoc = msg.rfind(b"\xff\xd9")
+    assert soc != -1 and eoc > soc
+    codestream = msg[soc:eoc + 2]
+    theirs = np.asarray(PILImage.open(_io.BytesIO(codestream)))
+    ours = jp2.decode(codestream)
+    np.testing.assert_array_equal(ours, theirs.astype(np.int64))
+
+
+def test_grib2_jp2_large_bitmapped_field():
+    """Bitmapped JPEG2000-packed fields reshape to a near-square image
+    (same contract as the PNG path)."""
+    from atlite_tpu.io import jp2
+
+    pytest.importorskip("PIL.Image")
+    if not jp2.available():
+        pytest.skip("libopenjp2 not present")
+    rng = np.random.default_rng(8)
+    vals = rng.random((120, 150)) * 30 + 270
+    vals[0, 1] = np.nan
+    rec = {"shortName": "t2m", "values": vals,
+           "lats": np.linspace(85, 30, 120), "lons": np.linspace(-30, 40, 150),
+           "valid_time": np.datetime64("2013-01-01T00:00"),
+           "param": (0, 0, 0, 103, 2), "jp2": True, "nbits": 16}
+    got = grib.read(grib.encode_grib2([rec]))[0]["values"]
+    assert np.isnan(got[0, 1])
+    m = np.isfinite(vals)
+    np.testing.assert_allclose(got[m], vals[m], atol=30 / 65535 * 1.01)
+
+
 def test_png_codec_vs_pillow():
     """The minimal PNG codec under template 5.41 matches Pillow in both
     directions, including hand-crafted scanlines for every filter type."""
