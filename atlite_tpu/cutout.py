@@ -410,7 +410,14 @@ class Cutout:
                     if var not in mod.features[feature] or var not in missing_vars:
                         continue
                     written_this_call.add(var)
-                    self.data[var] = np.asarray(arr)
+                    arr = np.asarray(arr)
+                    if np.issubdtype(arr.dtype, np.floating):
+                        # store at the cutout's working dtype (default f32
+                        # — the precision ERA5 itself ships and the
+                        # device path computes in; a float64 cutout keeps
+                        # f64 stores for the oracle-comparison fixtures)
+                        arr = arr.astype(self.dtype, copy=False)
+                    self.data[var] = arr
                     self.var_attrs[var] = {
                         "dims": dims, "module": module, "feature": feature,
                     }

@@ -211,6 +211,48 @@ def _total_bounds(geoms):
     return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
 
 
+def _code_select(values, codes):
+    """Pointwise code-membership test.  Narrow integer rasters go through
+    a 256/65536-entry lookup table — ~7x faster than np.isin at the
+    30-Mpix scale of the availability cold path (PERF.md r5)."""
+    if codes is None:
+        return values.astype(bool)
+    codes_arr = np.atleast_1d(np.asarray(codes))
+    if (values.dtype.kind in "ui" and values.dtype.itemsize <= 2
+            and codes_arr.dtype.kind in "ui"):
+        n = 1 << (8 * values.dtype.itemsize)
+        info = np.iinfo(values.dtype)
+        cc = codes_arr[(codes_arr >= info.min)
+                       & (codes_arr <= info.max)].astype(np.int64)
+        table = np.zeros(n, dtype=bool)
+        table[cc % n] = True  # signed dtypes fancy-index from the end
+        return table[values]
+    return np.isin(values, codes_arr)
+
+
+def _native_code_mask(d):
+    """The layer's code mask evaluated ONCE on the raster's NATIVE grid
+    (r4 verdict item 8: code masks are shape/lattice-independent).
+    Nearest sampling commutes with any pointwise test, so downstream
+    lattices sample this cached bool raster instead of re-running the
+    code selection per call.  Callable codes are not precomputed (the
+    contract hands them the projected array; a non-pointwise callable
+    would not commute).  Returns (bool Raster, nodata_selected)."""
+    codes = d["codes"]
+    ckey = None if codes is None else tuple(np.atleast_1d(codes).tolist())
+    key = (id(d["raster"]), ckey, d["nodata"])  # in-place layer mutation
+    cached = d.get("_native_mask")
+    if cached is None or cached[0] != key:
+        r = d["raster"]
+        vals = np.asarray(r.data)
+        sel = _code_select(vals, codes)
+        nod = bool(_code_select(
+            np.array([d["nodata"]], dtype=vals.dtype), codes)[0])
+        cached = d["_native_mask"] = (
+            key, Raster(sel, r.transform, r.crs, nod), nod)
+    return cached[1], cached[2]
+
+
 def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
     """OR of every exclusion layer (rasters, then geometries) of
     ``excluder`` rasterized on the ``shape`` lattice at ``transform`` in
@@ -240,25 +282,37 @@ def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
                                     invert=True)
     for d in excluder.rasters:
         r = d["raster"]
-        if not _bounds_overlap(r, window_bounds, excluder.crs):
-            if not d["allow_no_overlap"]:
-                raise ValueError(
-                    "Raster and geometry do not overlap; pass "
-                    "allow_no_overlap=True to allow this."
-                )
-            masked_r = np.full(shape, d["nodata"])
-        else:
-            masked_r = reproject_nearest(r, transform, excluder.crs, shape,
-                                         nodata=d["nodata"])
-        if crop_inside is not None:
-            masked_r = np.where(crop_inside, masked_r, d["nodata"])
-        if d["codes"] is not None:
-            if callable(d["codes"]):
-                sel = np.asarray(d["codes"](masked_r)).astype(bool)
+        overlap = _bounds_overlap(r, window_bounds, excluder.crs)
+        if not overlap and not d["allow_no_overlap"]:
+            raise ValueError(
+                "Raster and geometry do not overlap; pass "
+                "allow_no_overlap=True to allow this."
+            )
+        if crop_geoms is None and not callable(d["codes"]):
+            # fast lane: sample the cached NATIVE bool code mask (the
+            # pointwise code test commutes with nearest sampling) —
+            # skips the per-lattice isin pass of the cold path
+            mask_r, nod = _native_code_mask(d)
+            if not overlap:
+                sel = np.full(shape, nod, dtype=bool)
             else:
-                sel = np.isin(masked_r, d["codes"])
+                sel = reproject_nearest(mask_r, transform, excluder.crs,
+                                        shape, nodata=nod)
         else:
-            sel = masked_r.astype(bool)
+            if not overlap:
+                masked_r = np.full(shape, d["nodata"])
+            else:
+                masked_r = reproject_nearest(r, transform, excluder.crs,
+                                             shape, nodata=d["nodata"])
+            if crop_inside is not None:
+                masked_r = np.where(crop_inside, masked_r, d["nodata"])
+            if d["codes"] is not None:
+                if callable(d["codes"]):
+                    sel = np.asarray(d["codes"](masked_r)).astype(bool)
+                else:
+                    sel = _code_select(masked_r, d["codes"])
+            else:
+                sel = masked_r.astype(bool)
         if d["invert"]:
             sel = ~sel
         if d["buffer"]:

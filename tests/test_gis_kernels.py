@@ -296,3 +296,91 @@ def test_excluder_crs_override_does_not_mutate_caller_raster():
     exc.open_files()
     assert r.crs == 4326  # caller's object untouched
     assert exc.rasters[0]["raster"].crs == 3035
+
+
+def test_availability_device_blocked_build_with_buffered_geometry(cutout):
+    """r5 cold-path pipeline: the exclusion mask is built per row block in
+    a background thread on cold calls.  A buffered geometry layer's
+    dilation reaches across block edges — the margin build must keep the
+    result identical to the single-block build, and the warm (cached,
+    concatenated) mask must reproduce it."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.raster import Raster
+
+    rng = np.random.default_rng(5)
+    tr = Affine(0.05, 0, X0 - 0.2, 0, -0.05, Y1 + 0.2)
+    raster = Raster(rng.integers(0, 4, (130, 124)).astype(np.uint8), tr,
+                    crs=4326, nodata=255)
+    exclude = [box(-2.0, 58.0, -1.0, 58.5)]
+    shapes = [box(-3, 57, 0, 60), box(-2, 58, 1, 61)]
+
+    def make_exc():
+        exc = ExclusionContainer(4326, res=0.01)
+        exc.add_raster(raster, codes=[2])
+        exc.add_geometry(exclude, buffer=0.05)
+        return exc
+
+    a_one = availability_matrix_device(cutout, shapes, make_exc())
+    exc_blk = make_exc()
+    a_blk = availability_matrix_device(cutout, shapes, exc_blk,
+                                       max_device_pixels=150_000)
+    np.testing.assert_allclose(a_blk, a_one, atol=1e-6)
+    # warm call rides the concatenated cached device mask
+    a_warm = availability_matrix_device(cutout, shapes, exc_blk,
+                                        max_device_pixels=150_000)
+    np.testing.assert_allclose(a_warm, a_blk, atol=1e-6)
+
+
+def test_code_select_matches_isin():
+    """The LUT code test equals np.isin across dtypes and edge cases."""
+    from atlite_tpu.gis.exclusion import _code_select
+
+    rng = np.random.default_rng(0)
+    for dtype in (np.uint8, np.int16, np.uint16, np.int32):
+        vals = rng.integers(np.iinfo(dtype).min, np.iinfo(dtype).max,
+                            (40, 30)).astype(dtype)
+        for codes in ([3], [0, 5, 7], [np.iinfo(dtype).min,
+                                       np.iinfo(dtype).max],
+                      [1, 100000]):  # 100000 out of range for narrow ints
+            got = _code_select(vals, codes)
+            np.testing.assert_array_equal(got, np.isin(vals, codes))
+    # float codes fall back to np.isin semantics
+    vals = rng.integers(0, 9, (10, 10)).astype(np.uint8)
+    np.testing.assert_array_equal(_code_select(vals, [2.0, 4.5]),
+                                  np.isin(vals, [2.0, 4.5]))
+    # codes=None: truthiness
+    np.testing.assert_array_equal(_code_select(vals, None), vals.astype(bool))
+
+
+def test_native_code_mask_fast_lane_equals_value_path(cutout):
+    """Sampling the precomputed native bool mask must equal sampling
+    values then applying codes — including invert and nodata outside the
+    raster extent (the commuting-pointwise-test argument, pinned)."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.exclusion import build_exclusion_mask
+    from atlite_tpu.gis.raster import (
+        Raster, padded_transform_and_shape,
+    )
+
+    rng = np.random.default_rng(1)
+    # raster deliberately SMALLER than the window: outside -> nodata
+    tr = Affine(0.05, 0, X0 + 0.8, 0, -0.05, Y1 - 0.9)
+    raster = Raster(rng.integers(0, 6, (60, 70)).astype(np.uint8), tr,
+                    crs=4326, nodata=255)
+    transform, shape = padded_transform_and_shape(
+        (X0, Y0, X1, Y1), 0.01)
+    for invert, codes, nodata in [(False, [2, 3], 255), (True, [2, 3], 255),
+                                  (False, [1], 3), (True, None, 255)]:
+        exc_fast = ExclusionContainer(4326, res=0.01)
+        exc_fast.add_raster(raster, codes=codes, invert=invert,
+                            nodata=nodata)
+        fast = build_exclusion_mask(exc_fast, transform, shape)  # fast lane
+
+        exc_slow = ExclusionContainer(4326, res=0.01)
+        # a callable forces the value-sampling path with the same test
+        cset = set(codes) if codes is not None else None
+        fn = (lambda v, c=cset: np.isin(v, list(c))) if cset is not None \
+            else (lambda v: v.astype(bool))
+        exc_slow.add_raster(raster, codes=fn, invert=invert, nodata=nodata)
+        slow = build_exclusion_mask(exc_slow, transform, shape)
+        np.testing.assert_array_equal(fast, slow)
