@@ -611,3 +611,278 @@ def test_grib_trust_boundary_refusals():
     records = grib.read(grib.encode_grib1([rec]) + grib.encode_grib1([rec2]))
     with pytest.raises(ValueError, match="different grids"):
         grib.to_dataset(records)
+
+
+# ---------------------------------------------------------------------------
+# Second-sourcing the complex-packing decode (r4 verdict item 4): the
+# production decoder is checked against (a) a clean-room re-implementation
+# that follows the NCEP g2c `comunpack` algorithm structure (per-stream
+# reads with stream-local byte padding, group expansion, ghost-value
+# substitution then recurrence — a genuinely different control flow from
+# io/grib.py's offset-tracking decoder), and (b) exact reconstruction of
+# randomized KNOWN integer fields across the whole parameter space
+# (orders 0/1/2, zero-width groups, signed descriptors, nonzero width
+# reference, length increments > 1, 1/2/4-byte descriptor sizes).
+# ---------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, nbits):
+        v = int(value)
+        assert 0 <= v < (1 << nbits) if nbits else v == 0
+        self.bits += [(v >> (nbits - 1 - i)) & 1 for i in range(nbits)]
+
+    def pad(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        self.pad()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def _sm_encode(v, nbytes):
+    """GRIB sign-magnitude integer."""
+    sign = 1 << (nbytes * 8 - 1)
+    return (abs(int(v)) | (sign if v < 0 else 0)).to_bytes(nbytes, "big")
+
+
+def _encode_complex(values, group_sizes, order=0, desc_bytes=2,
+                    width_ref=0, len_inc=1, rng=None):
+    """Test-side encoder for DRS 5.2/5.3 payloads (template 7.2/7.3 octet
+    layout): returns (data bytes, meta dict) whose decode must reproduce
+    ``values`` exactly."""
+    values = np.asarray(values, dtype=np.int64)
+    n = len(values)
+    assert sum(group_sizes) == n
+
+    if order:
+        d = values.astype(np.int64).copy()
+        if order == 1:
+            d[1:] = values[1:] - values[:-1]
+        else:  # order 2: second differences f[i] - 2f[i-1] + f[i-2]
+            d[2:] = values[2:] - 2 * values[1:-1] + values[:-2]
+        h = [int(values[i]) for i in range(order)]
+        gmin = int(d[order:].min()) if n > order else 0
+        stored = d.copy()
+        stored[:order] = gmin  # ghost slots: decode replaces them
+        stored = stored - gmin
+    else:
+        h, gmin = [], 0
+        stored = values.copy()
+        assert stored.min() >= 0, "5.2 packs non-negative scaled ints"
+
+    refs, widths, lengths, groups = [], [], [], []
+    pos = 0
+    for gl in group_sizes:
+        grp = stored[pos:pos + gl]
+        pos += gl
+        ref = int(grp.min())
+        spread = int(grp.max()) - ref
+        w = 0 if spread == 0 else int(spread).bit_length()
+        refs.append(ref)
+        widths.append(w)
+        lengths.append(gl)
+        groups.append(grp - ref)
+
+    nbits = max(max(int(r).bit_length() for r in refs), 1)
+    width_bits = max(max((w - width_ref).bit_length() for w in widths), 1)
+    assert all(w >= width_ref for w in widths)
+    len_ref = min(lengths[:-1] or lengths)
+    scaled = [(l - len_ref) // len_inc for l in lengths[:-1]]
+    assert all((l - len_ref) % len_inc == 0 for l in lengths[:-1])
+    len_bits = max(max((s.bit_length() for s in scaled), default=1), 1)
+
+    out = bytearray()
+    if order:
+        for v in h:
+            out += _sm_encode(v, desc_bytes)
+        out += _sm_encode(gmin, desc_bytes)
+    bw = _BitWriter()
+    for r in refs:
+        bw.put(r, nbits)
+    bw.pad()
+    for w in widths:
+        bw.put(w - width_ref, width_bits)
+    bw.pad()
+    for s in scaled:
+        bw.put(s, len_bits)
+    bw.put(0, len_bits)  # last group: field present, value ignored
+    bw.pad()
+    for w, grp in zip(widths, groups):
+        for v in grp:
+            bw.put(v, w)
+    out += bw.bytes()
+
+    meta = dict(ndata=n, drs_template=3 if order else 2, nbits=nbits,
+                ngroups=len(group_sizes), group_width_ref=width_ref,
+                group_width_bits=width_bits, group_len_ref=len_ref,
+                group_len_inc=len_inc, group_len_last=lengths[-1],
+                group_len_bits=len_bits)
+    if order:
+        meta.update(spatial_order=order, spatial_desc_bytes=desc_bytes)
+    return bytes(out), meta
+
+
+def _comunpack_ncep(cpack, meta):
+    """Clean-room decode following the NCEP g2c comunpack algorithm
+    structure: sequential gbits-style stream reads, per-stream byte
+    padding computed from the stream's own bit count, group expansion
+    into idif, then ghost substitution + recurrence for template 5.3."""
+    def gbits(ofst, nbits, count):
+        vals = np.zeros(count, dtype=np.int64)
+        for k in range(count):
+            for _ in range(nbits):
+                vals[k] = (vals[k] << 1) | ((cpack[ofst // 8] >> (7 - ofst % 8)) & 1)
+                ofst += 1
+        return vals, ofst
+
+    iofst = 0
+    idrs_order = meta.get("spatial_order", 0)
+    if meta["drs_template"] == 3:
+        nbsd = meta["spatial_desc_bytes"]
+        ival = []
+        for _ in range(idrs_order + 1):
+            raw, iofst = gbits(iofst, nbsd * 8, 1)
+            msb = 1 << (nbsd * 8 - 1)
+            v = int(raw[0])
+            ival.append(-(v & (msb - 1)) if v & msb else v)
+        h, minsd = ival[:-1], ival[-1]
+
+    ng = meta["ngroups"]
+    gref, iofst = gbits(iofst, meta["nbits"], ng)
+    if (meta["nbits"] * ng) % 8:
+        iofst += 8 - (meta["nbits"] * ng) % 8
+    gwidth, iofst = gbits(iofst, meta["group_width_bits"], ng)
+    gwidth += meta["group_width_ref"]
+    if (meta["group_width_bits"] * ng) % 8:
+        iofst += 8 - (meta["group_width_bits"] * ng) % 8
+    glen, iofst = gbits(iofst, meta["group_len_bits"], ng)
+    glen = meta["group_len_ref"] + glen * meta["group_len_inc"]
+    if (meta["group_len_bits"] * ng) % 8:
+        iofst += 8 - (meta["group_len_bits"] * ng) % 8
+    glen[-1] = meta["group_len_last"]
+
+    idif = np.zeros(meta["ndata"], dtype=np.int64)
+    j = 0
+    for g in range(ng):
+        if gwidth[g]:
+            vals, iofst = gbits(iofst, int(gwidth[g]), int(glen[g]))
+            idif[j:j + int(glen[g])] = vals + gref[g]
+        else:
+            idif[j:j + int(glen[g])] = gref[g]
+        j += int(glen[g])
+    assert j == meta["ndata"]
+
+    if meta["drs_template"] == 3:
+        fld = idif + minsd
+        for i in range(idrs_order):
+            fld[i] = h[i]
+        if idrs_order == 1:
+            for i in range(1, len(fld)):
+                fld[i] = fld[i] + fld[i - 1]
+        elif idrs_order == 2:
+            for i in range(2, len(fld)):
+                fld[i] = fld[i] + 2 * fld[i - 1] - fld[i - 2]
+        return fld
+    return idif
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_complex_packing_differential_randomized(order):
+    """Production decoder == clean-room NCEP-structured decoder == the
+    exact integers that went in, across randomized fields/groupings."""
+    rng = np.random.default_rng(100 + order)
+    for case in range(12):
+        n = int(rng.integers(order + 1, 200))
+        # random partition incl. constant (zero-width) groups
+        sizes = []
+        left = n
+        while left:
+            s = int(min(left, rng.integers(1, 40)))
+            sizes.append(s)
+            left -= s
+        len_inc = 2 if case % 4 == 2 else 1
+        if len_inc == 2:
+            # lengths must satisfy (l - ref) % inc == 0 for all but last
+            ref = min(sizes[:-1] or sizes)
+            sizes = [s + (s - ref) % 2 for s in sizes]
+            n = sum(sizes)
+        desc_bytes = [1, 2, 4][case % 3]
+        # keep h/gmin within the descriptor byte width (diffs of ±v
+        # reach ±2v at order 1, ±4v at order 2)
+        vmax = 25 if (order and desc_bytes == 1) else 500
+        vals = (rng.integers(-vmax, vmax, n) if order
+                else rng.integers(0, 900, n))
+        if case % 3 == 0 and len(sizes) > 1:
+            # force one constant group -> width 0
+            i0 = sizes[0]
+            vals[i0:i0 + sizes[1]] = vals[i0]
+        data, meta = _encode_complex(vals, sizes, order=order,
+                                     desc_bytes=desc_bytes,
+                                     len_inc=len_inc)
+        got = grib._decode_complex(data, meta)
+        np.testing.assert_array_equal(got, vals)
+        clean = _comunpack_ncep(data, meta)
+        np.testing.assert_array_equal(clean, vals)
+
+
+def test_spatial_differencing_negative_descriptors_handbuilt():
+    """Octet-audited template 7.3 payload with NEGATIVE ghost values and
+    minimum (sign-magnitude per GRIB2 regulation 92.1.5 — the most likely
+    shared-misreading point).  Field: [-3, -1, 4, 7] with order-1
+    differencing: d = [_, 2, 5, 3], gmin = 2, stored-gmin = [0, 0, 3, 1].
+
+    Octets (template 7.3, spatial_desc_bytes=2):
+      1-2   0x80 0x03   h1 = -3      (sign bit + magnitude 3)
+      3-4   0x00 0x02   gmin = +2
+      5     0x00        group ref [0] at nbits=4, padded to a byte
+      6     0x40        group width [2] at 3 bits, padded
+      7     0x00        scaled group length (last group: value unused)
+      8     0x0D        packed [0,0,3,1] at 2 bits = 00 00 11 01
+    """
+    data = bytes([0x80, 0x03, 0x00, 0x02, 0x00, 0x40, 0x00, 0x0D])
+    meta = dict(ndata=4, drs_template=3, nbits=4, ngroups=1,
+                group_width_ref=0, group_width_bits=3,
+                group_len_ref=4, group_len_inc=1, group_len_last=4,
+                group_len_bits=8, spatial_order=1, spatial_desc_bytes=2)
+    out = grib._decode_complex(data, meta)
+    np.testing.assert_array_equal(out, [-3, -1, 4, 7])
+    np.testing.assert_array_equal(_comunpack_ncep(data, meta), [-3, -1, 4, 7])
+
+
+def test_reduced_to_regular_hand_case_and_analytic_oracle():
+    """The reduced->regular periodic linear interpolation against
+    implementation-independent oracles: a hand-computed 4->8 point row
+    (incl. the wrap segment) and an analytic smooth zonal field whose
+    regularized values must match the function itself within the standard
+    h^2/8 * max|f''| linear-interpolation bound."""
+    # hand case: row [0,10,20,30] at lons 0/90/180/270 -> 8 targets every
+    # 45 deg; the last target (315 deg) interpolates the wrap 30 -> 0
+    out, lons = grib._reduced_to_regular(
+        np.array([0.0, 10.0, 20.0, 30.0]), [4], 0.0, 8)
+    np.testing.assert_allclose(out[0], [0, 5, 10, 15, 20, 25, 30, 15])
+    np.testing.assert_allclose(lons, np.arange(8) * 45.0)
+
+    # analytic oracle: f(lon) = sin(3*lon) + 0.5*cos(lon) on three rows
+    # with different reduced counts
+    pl = [96, 128, 64]
+    rows = []
+    for n in pl:
+        lon = np.arange(n) * (360.0 / n)
+        rows.append(np.sin(3 * np.radians(lon)) + 0.5 * np.cos(np.radians(lon)))
+    flat = np.concatenate(rows)
+    ni = 144
+    out, lons = grib._reduced_to_regular(flat, pl, 0.0, ni)
+    expect = np.sin(3 * np.radians(lons)) + 0.5 * np.cos(np.radians(lons))
+    for r, n in enumerate(pl):
+        h = 2 * np.pi / n
+        bound = h * h / 8 * (9 + 0.5) * 1.01  # max|f''| = 9*1 + 0.5
+        assert np.abs(out[r] - expect).max() < bound, (r, n)
