@@ -172,6 +172,16 @@ def convert_and_aggregate(
     logger.info(f"Convert and aggregate '{func_name}'.")
     time_chunk = convert_kwds.pop("time_chunk", None)
     stream_pack = convert_kwds.pop("stream_pack", None)
+    if stream_pack not in (None, "int16"):
+        raise ValueError(
+            f"stream_pack must be 'int16' or None, got {stream_pack!r}")
+    if stream_pack is not None and not time_chunk and \
+            not (cutout.chunks or {}).get("time"):
+        # packing only affects the streamed chunk staging; silently doing
+        # nothing would let the user believe the wire is packed
+        raise ValueError(
+            "stream_pack requires streamed conversion: pass time_chunk= "
+            "(or build the cutout with a time chunksize)")
     if time_chunk is None:
         # stored chunking (Cutout(..., chunksize_time=N), the analog of
         # the reference's persisted dask chunks) is the streaming default

@@ -638,7 +638,13 @@ class Cutout:
                 with np.errstate(invalid="ignore"):
                     mn = float(np.nanmin(a))
                     mx = float(np.nanmax(a))
-                if not np.isfinite(mn) or not np.isfinite(mx):
+                if np.isinf(mn) or np.isinf(mx):
+                    # int16 codes cannot represent inf (only NaN has a
+                    # sentinel); silently clipping would corrupt data
+                    raise ValueError(
+                        f"variable {n!r} contains non-finite (inf) values; "
+                        "int16 packed streaming cannot represent them")
+                if np.isnan(mn) or np.isnan(mx):
                     # all-NaN variable: any params reconstruct the NaNs
                     mn, mx = 0.0, 0.0
                 use_log = mn > 0.0 and mx / mn > 1e3

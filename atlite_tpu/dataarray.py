@@ -151,7 +151,10 @@ class DataArray:
                     mask &= vals >= min(lo, hi) if hi is not None else vals >= lo
                 if hi is not None:
                     mask &= vals <= max(lo, hi) if lo is not None else vals <= hi
-                isels[d] = np.where(mask)[0]
+                pos = np.where(mask)[0]
+                if v.step is not None:
+                    pos = pos[::v.step]
+                isels[d] = pos
             elif np.ndim(v) == 0:
                 if method == "nearest":
                     isels[d] = int(idx.get_indexer([v], method="nearest")[0])

@@ -292,10 +292,16 @@ def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
             # fast lane: sample the cached NATIVE bool code mask (the
             # pointwise code test commutes with nearest sampling) —
             # skips the per-lattice isin pass of the cold path
-            mask_r, nod = _native_code_mask(d)
             if not overlap:
+                # the scalar nodata outcome is all that matters; do not
+                # build a full-raster mask for a window it never touches
+                vals_dtype = np.asarray(d["raster"].data).dtype
+                nod = bool(_code_select(
+                    np.array([d["nodata"]], dtype=vals_dtype),
+                    d["codes"])[0])
                 sel = np.full(shape, nod, dtype=bool)
             else:
+                mask_r, nod = _native_code_mask(d)
                 sel = reproject_nearest(mask_r, transform, excluder.crs,
                                         shape, nodata=nod)
         else:

@@ -321,6 +321,19 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         excl_full = cached[1]
         get_excl = lambda b0, b1: excl_full[b0:b1]
         finish_excl = lambda: None
+    elif any(callable(d["codes"]) for d in excluder.rasters):
+        # a CALLABLE code filter gets handed the projected array and need
+        # not be pointwise — per-block windows would change its input, so
+        # build the full lattice in one shot (rounds 1-4 behavior)
+        from atlite_tpu.gis.exclusion import build_exclusion_mask
+
+        exclusions = build_exclusion_mask(excluder, transform, (ny, nx))
+        packed = np.packbits(exclusions)
+        excl_full = _unpack_mask_device(
+            jnp.asarray(packed), ny * nx).reshape(ny, nx)
+        excluder._fine_mask_cache = (cache_key, excl_full)
+        get_excl = lambda b0, b1: excl_full[b0:b1]
+        finish_excl = lambda: None
     else:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -339,8 +352,7 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
                 raise ValueError(
                     "Raster and geometry do not overlap; pass "
                     "allow_no_overlap=True to allow this.")
-            if not callable(d["codes"]):
-                _native_code_mask(d)  # prime the shared native-mask cache
+            _native_code_mask(d)  # prime the shared native-mask cache
         blk_exc = _BlockExcluder(excluder)
         # geometry-layer dilation reaches across block edges: build with
         # a margin and crop (buffered rasters are refused above)
@@ -376,7 +388,9 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             return blk
 
         def finish_excl():
-            _bex.shutdown(wait=True)
+            # idempotent; called in a finally so an exception mid-loop
+            # never leaks the worker thread or queued build futures
+            _bex.shutdown(wait=True, cancel_futures=True)
             if len(_parts) == len(_bounds_list):
                 excluder._fine_mask_cache = (
                     cache_key, jnp.concatenate(_parts, axis=0))
@@ -395,17 +409,19 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         den = (Wy_full.sum(axis=1)[:, None] * np.asarray(Wx).sum(axis=1)[None, :])
 
         num = None
-        for b0 in range(0, ny, row_block):
-            b1 = min(b0 + row_block, ny)
-            part = _block_partial(
-                edges_d, emask_d, px_d,
-                jnp.asarray(py[b0:b1]),
-                get_excl(b0, b1),
-                jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
-                Wx, row_tile=row_tile,
-            )
-            num = part if num is None else num + part
-        finish_excl()
+        try:
+            for b0 in range(0, ny, row_block):
+                b1 = min(b0 + row_block, ny)
+                part = _block_partial(
+                    edges_d, emask_d, px_d,
+                    jnp.asarray(py[b0:b1]),
+                    get_excl(b0, b1),
+                    jnp.asarray(Wy_full[:, b0:b1], dtype=jnp.float32),
+                    Wx, row_tile=row_tile,
+                )
+                num = part if num is None else num + part
+        finally:
+            finish_excl()
         with np.errstate(invalid="ignore"):
             avail = np.asarray(num) / den[None]
         avail[:, den <= 0] = 0.0
@@ -449,19 +465,21 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     # dropped counter eagerly would force one device sync per block
     pending = []
     excl_blocks = {}
-    for (b0, b1), (lo, _) in zip(blocks, windows):
-        lo = max(min(lo, NY - yspan), 0) if NY > yspan else 0
-        excl_blocks[(b0, b1)] = get_excl(b0, b1)
-        out_b = _block_cells_crosscrs(
-            edges_d, emask_d, px_d,
-            jnp.asarray(py[b0:b1]),
-            excl_blocks[(b0, b1)],
-            inv_affine, jnp.int32(lo),
-            src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
-            row_tile=row_tile, chunk=chunk,
-        )
-        pending.append(((b0, b1), lo, out_b))
-    finish_excl()
+    try:
+        for (b0, b1), (lo, _) in zip(blocks, windows):
+            lo = max(min(lo, NY - yspan), 0) if NY > yspan else 0
+            excl_blocks[(b0, b1)] = get_excl(b0, b1)
+            out_b = _block_cells_crosscrs(
+                edges_d, emask_d, px_d,
+                jnp.asarray(py[b0:b1]),
+                excl_blocks[(b0, b1)],
+                inv_affine, jnp.int32(lo),
+                src_crs=src_key, dst_crs=dst_key, NX=NX, NY=NY, bins=bins,
+                row_tile=row_tile, chunk=chunk,
+            )
+            pending.append(((b0, b1), lo, out_b))
+    finally:
+        finish_excl()
 
     for (b0, b1), lo, (num_b, cnt_b, dropped) in pending:
         if int(dropped) > 0:

@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 SMOKE = bool(os.environ.get("CONTINENTAL_SMOKE"))
-if SMOKE:  # structure check at toy scale (used by tests; minutes -> seconds)
+if SMOKE:  # structure check at toy scale (tests/test_continental_smoke.py)
     T_HOURS, NY, NX = 14 * 24, 61, 121   # dx 0.25 / dy 25/60: lattice-aligned
     REGIONS_Y, REGIONS_X = 8, 16
     N_AVAIL_SHAPES = 4

@@ -454,3 +454,29 @@ def test_chunked_tail_overlap_equality(cutout):
     ca = np.asarray(cutout.wind("Vestas_V112_3MW", matrix=m,
                                 time_chunk=chunk, aggregate_time=None).values)
     np.testing.assert_allclose(ca, fa, rtol=1e-6)
+
+
+def test_stream_pack_requires_streaming(cutout_week):
+    """r5 review: stream_pack on an unchunked conversion must fail loudly
+    instead of silently staging raw f32."""
+    with pytest.raises(ValueError, match="stream_pack requires"):
+        cutout_week.wind("Vestas_V112_3MW", aggregate_time=None,
+                         stream_pack="int16")
+
+
+def test_pack_params_rejects_inf(cutout_week):
+    """A variable containing inf cannot be int16-packed (only NaN has a
+    sentinel); pack_params must refuse rather than clip silently."""
+    import copy
+
+    c = cutout_week
+    bad = np.array(c.data["wnd100m"], dtype=np.float64, copy=True)
+    bad[0, 0, 0] = np.inf
+    c2_data = dict(c.data)
+    c2_data["wnd100m"] = bad
+    from atlite_tpu.cutout import Cutout
+
+    c2 = Cutout(None, data=c2_data, grid_desc=c.grid_desc,
+                attrs=dict(c.attrs), var_attrs=dict(c.var_attrs))
+    with pytest.raises(ValueError, match="non-finite"):
+        c2.pack_params(["wnd100m"])

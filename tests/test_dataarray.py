@@ -162,3 +162,14 @@ def test_sel_datetime_slice_step():
     s = da.sel(time=slice("2013-01-01", "2013-01-02", 3))
     assert len(s.values) == 16
     np.testing.assert_array_equal(s.values, np.arange(0.0, 48.0, 3))
+
+
+def test_sel_numeric_slice_step():
+    """r5 review: slice.step applies to numeric-coordinate slices too,
+    not only DatetimeIndex ones."""
+    from atlite_tpu.dataarray import DataArray
+
+    da = DataArray(np.arange(20.0), coords={"x": np.arange(20) * 0.5},
+                   dims=("x",))
+    s = da.sel(x=slice(1.0, 8.0, 3))
+    np.testing.assert_array_equal(s.values, np.arange(2, 17, 3))

@@ -384,3 +384,51 @@ def test_native_code_mask_fast_lane_equals_value_path(cutout):
         exc_slow.add_raster(raster, codes=fn, invert=invert, nodata=nodata)
         slow = build_exclusion_mask(exc_slow, transform, shape)
         np.testing.assert_array_equal(fast, slow)
+
+
+def test_availability_device_callable_codes_full_lattice(cutout):
+    """r5 review: a CALLABLE code filter need not be pointwise, so the
+    device cold path must hand it the FULL projected lattice in ONE build
+    (per-block windows would change its input and the cached mask).
+    Pinned: the result is invariant to the block size (the pipelined
+    builder must not engage), warm == cold, and a POINTWISE callable
+    still matches the host path."""
+    from atlite_tpu.core.grid import Affine
+    from atlite_tpu.gis.raster import Raster
+
+    rng = np.random.default_rng(9)
+    tr = Affine(0.05, 0, X0 - 0.2, 0, -0.05, Y1 + 0.2)
+    raster = Raster(rng.random((130, 124)).astype(np.float32), tr,
+                    crs=4326, nodata=-1.0)
+    codes = lambda a: a > np.quantile(a, 0.7)  # global state: NOT pointwise
+    shapes = [box(-3, 57, 0, 60)]
+
+    def run(max_pix):
+        exc = ExclusionContainer(4326, res=0.01)
+        exc.add_raster(raster, codes=codes, nodata=-1.0)
+        a = availability_matrix_device(cutout, shapes, exc,
+                                       max_device_pixels=max_pix)
+        warm = availability_matrix_device(cutout, shapes, exc,
+                                          max_device_pixels=max_pix)
+        np.testing.assert_allclose(warm, a, atol=1e-7)
+        return a
+
+    # blocked and single-block runs must agree exactly: the callable saw
+    # the same full lattice either way
+    np.testing.assert_allclose(run(150_000), run(64_000_000), atol=1e-7)
+
+    # a POINTWISE callable matches the independent host path
+    import pandas as pd
+
+    from atlite_tpu.gis.exclusion import compute_availabilitymatrix
+
+    pw = lambda a: a > 0.7
+    exc_d = ExclusionContainer(4326, res=0.01)
+    exc_d.add_raster(raster, codes=pw, nodata=-1.0)
+    dev = availability_matrix_device(cutout, shapes, exc_d,
+                                     max_device_pixels=150_000)
+    exc_h = ExclusionContainer(4326, res=0.01)
+    exc_h.add_raster(raster, codes=pw, nodata=-1.0)
+    host = np.asarray(compute_availabilitymatrix(
+        cutout, pd.Series(shapes), exc_h, backend="host").values)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
