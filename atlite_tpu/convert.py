@@ -182,7 +182,16 @@ def convert_and_aggregate(
         raise ValueError(
             "stream_pack requires streamed conversion: pass time_chunk= "
             "(or build the cutout with a time chunksize)")
-    if time_chunk is None:
+    if getattr(cutout, "_mesh", None) is not None:
+        # streamed chunk staging is single-device; on a shard()-ed cutout
+        # it would silently drop the mesh decomposition
+        if time_chunk:
+            raise ValueError(
+                "streamed conversion (time_chunk) is single-device and "
+                "cannot honor a shard()-ed cutout's mesh; unshard() first, "
+                "or use core.comm.from_store for multi-host streaming")
+        time_chunk = None  # ignore a stored chunksize: run sharded resident
+    elif time_chunk is None:
         # stored chunking (Cutout(..., chunksize_time=N), the analog of
         # the reference's persisted dask chunks) is the streaming default
         time_chunk = (cutout.chunks or {}).get("time")

@@ -411,16 +411,28 @@ class Cutout:
                         continue
                     written_this_call.add(var)
                     arr = np.asarray(arr)
+                    va = {"dims": dims, "module": module, "feature": feature}
                     if np.issubdtype(arr.dtype, np.floating):
                         # store at the cutout's working dtype (default f32
                         # — the precision ERA5 itself ships and the
                         # device path computes in; a float64 cutout keeps
                         # f64 stores for the oracle-comparison fixtures)
                         arr = arr.astype(self.dtype, copy=False)
+                        # persist the value range while the data is hot in
+                        # RAM: pack_params then skips a full re-read of
+                        # the store per variable (40 GB of host passes at
+                        # continental scale)
+                        import warnings as _warnings
+
+                        with np.errstate(invalid="ignore"), \
+                                _warnings.catch_warnings():
+                            _warnings.simplefilter(
+                                "ignore", RuntimeWarning)  # all-NaN vars
+                            mn, mx = np.nanmin(arr), np.nanmax(arr)
+                        if np.isfinite(mn) and np.isfinite(mx):
+                            va["pack_range"] = [float(mn), float(mx)]
                     self.data[var] = arr
-                    self.var_attrs[var] = {
-                        "dims": dims, "module": module, "feature": feature,
-                    }
+                    self.var_attrs[var] = va
                     new_vars.append(var)
                 pf = set(np.atleast_1d(self.attrs.get("prepared_features", [])))
                 pf.add(feature)
@@ -634,10 +646,18 @@ class Cutout:
             if not dims or dims[0] != "time" or np.ndim(self.data[n]) != 3:
                 continue
             if n not in cache:
-                a = np.asarray(self.data[n])
-                with np.errstate(invalid="ignore"):
-                    mn = float(np.nanmin(a))
-                    mx = float(np.nanmax(a))
+                stored = self.var_attrs.get(n, {}).get("pack_range")
+                if stored is not None:
+                    # range persisted at prepare() time: skips a full host
+                    # pass over the stored array.  A sel() subset keeps
+                    # the (wider) global range — still-correct bounds,
+                    # marginally coarser quantization.
+                    mn, mx = float(stored[0]), float(stored[1])
+                else:
+                    a = np.asarray(self.data[n])
+                    with np.errstate(invalid="ignore"):
+                        mn = float(np.nanmin(a))
+                        mx = float(np.nanmax(a))
                 if np.isinf(mn) or np.isinf(mx):
                     # int16 codes cannot represent inf (only NaN has a
                     # sentinel); silently clipping would corrupt data

@@ -476,7 +476,51 @@ def test_pack_params_rejects_inf(cutout_week):
     c2_data["wnd100m"] = bad
     from atlite_tpu.cutout import Cutout
 
+    # drop the prepare()-stamped range so pack_params inspects the data
+    va = {k: {kk: vv for kk, vv in v.items() if kk != "pack_range"}
+          for k, v in c.var_attrs.items()}
     c2 = Cutout(None, data=c2_data, grid_desc=c.grid_desc,
-                attrs=dict(c.attrs), var_attrs=dict(c.var_attrs))
+                attrs=dict(c.attrs), var_attrs=va)
     with pytest.raises(ValueError, match="non-finite"):
         c2.pack_params(["wnd100m"])
+
+
+def test_streamed_conversion_rejects_sharded_cutout(cutout_week):
+    """r5: time_chunk staging is single-device; silently dropping a
+    shard()-ed cutout's mesh would be a wrong-but-finite surprise."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    from atlite_tpu.core.mesh import make_mesh
+
+    cutout_week.shard(make_mesh(jax.devices()[:2]))
+    try:
+        with pytest.raises(ValueError, match="unshard"):
+            cutout_week.wind("Vestas_V112_3MW", aggregate_time=None,
+                             time_chunk=48)
+    finally:
+        cutout_week.unshard()
+
+
+def test_pack_range_persisted_in_store(tmp_path):
+    """prepare() stamps each float variable's range into var_attrs (and
+    thus the store manifest); pack_params uses it without re-reading the
+    array, and the packed stream still reconstructs correctly."""
+    c = Cutout(tmp_path / "pr", module="synthetic", x=slice(-4, -2),
+               y=slice(56, 58), time="2013-01-01")
+    c.prepare(features=["wind"])
+    assert "pack_range" in c.var_attrs["wnd100m"]
+    re = Cutout(tmp_path / "pr")  # reopen: range comes from the manifest
+    pr = re.var_attrs["wnd100m"]["pack_range"]
+    arr = np.asarray(re.data["wnd100m"])
+    assert pr[0] <= arr.min() and pr[1] >= arr.max()
+    params = re.pack_params(["wnd100m"])
+    off, scale, lg = params["wnd100m"]
+    ref_lo = np.log(pr[0]) if lg else pr[0]
+    assert np.isclose(off, ref_lo)
+    # streamed packed conversion on the reopened store matches unpacked
+    full = np.asarray(re.wind("Vestas_V112_3MW", aggregate_time=None).values)
+    packed = np.asarray(re.wind("Vestas_V112_3MW", aggregate_time=None,
+                                time_chunk=12, stream_pack="int16").values)
+    assert np.abs(packed - full).max() < 2e-3
