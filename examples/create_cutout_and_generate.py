@@ -47,3 +47,13 @@ pv = cutout.pv(panel="CSi", orientation="latitude_optimal",
                shapes=regions, per_unit=True, aggregate_time=None)
 print("\nregional PV CF (p.u.):")
 print(pv.to_pandas().T.describe().loc[["mean", "max"]])
+
+# cutouts too large for device memory stream in time chunks; adding
+# stream_pack="int16" stages each chunk CF-packed (half the host->device
+# wire bytes, quantization <=3e-3 relative — see PERF.md)
+wind_streamed = cutout.wind("Vestas_V112_3MW", shapes=regions, per_unit=True,
+                            aggregate_time=None, time_chunk=12,
+                            stream_pack="int16")
+drift = float(np.abs(np.asarray(wind_streamed.values)
+                     - np.asarray(wind.values)).max())
+print(f"\nstreamed int16-packed wind CF: max deviation {drift:.2e}")
