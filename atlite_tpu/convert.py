@@ -175,13 +175,6 @@ def convert_and_aggregate(
     if stream_pack not in (None, "int16"):
         raise ValueError(
             f"stream_pack must be 'int16' or None, got {stream_pack!r}")
-    if stream_pack is not None and not time_chunk and \
-            not (cutout.chunks or {}).get("time"):
-        # packing only affects the streamed chunk staging; silently doing
-        # nothing would let the user believe the wire is packed
-        raise ValueError(
-            "stream_pack requires streamed conversion: pass time_chunk= "
-            "(or build the cutout with a time chunksize)")
     if getattr(cutout, "_mesh", None) is not None:
         # streamed chunk staging is single-device; on a shard()-ed cutout
         # it would silently drop the mesh decomposition
@@ -197,6 +190,15 @@ def convert_and_aggregate(
         time_chunk = (cutout.chunks or {}).get("time")
         if time_chunk and time_chunk >= len(cutout.grid_desc.time):
             time_chunk = None  # single chunk: run unstreamed
+    if stream_pack is not None and not time_chunk:
+        # validate AFTER time_chunk fully resolves (mesh branch, stored
+        # chunksize >= T, no chunking at all): packing only affects the
+        # streamed chunk staging, and silently doing nothing would let
+        # the user believe the wire is packed
+        raise ValueError(
+            "stream_pack requires streamed conversion: pass a time_chunk= "
+            "smaller than the time axis (sharded cutouts must unshard() "
+            "first)")
 
     no_args = all(v is None for v in [layout, shapes, matrix])
     if no_args:

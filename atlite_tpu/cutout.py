@@ -335,6 +335,10 @@ class Cutout:
     def _invalidate(self):
         self._fields_cache = None
         self._static_cache = None
+        # pack params derive from the data; prepare(overwrite=True) /
+        # merge must not quantize new data with a stale range (packing
+        # CLIPS out-of-range values silently)
+        self._pack_cache = None
 
     # ---------------------------------------------------------- preparation
     def prepare(self, features=None, tmpdir=None, data_format=None,
@@ -422,15 +426,20 @@ class Cutout:
                         # RAM: pack_params then skips a full re-read of
                         # the store per variable (40 GB of host passes at
                         # continental scale)
-                        import warnings as _warnings
+                        if arr.size:
+                            import warnings as _warnings
 
-                        with np.errstate(invalid="ignore"), \
-                                _warnings.catch_warnings():
-                            _warnings.simplefilter(
-                                "ignore", RuntimeWarning)  # all-NaN vars
-                            mn, mx = np.nanmin(arr), np.nanmax(arr)
-                        if np.isfinite(mn) and np.isfinite(mx):
-                            va["pack_range"] = [float(mn), float(mx)]
+                            with np.errstate(invalid="ignore"), \
+                                    _warnings.catch_warnings():
+                                _warnings.simplefilter(
+                                    "ignore", RuntimeWarning)  # all-NaN
+                                mn, mx = np.nanmin(arr), np.nanmax(arr)
+                            if np.isfinite(mn) and np.isfinite(mx):
+                                # two SCALAR attrs (not a list): both the
+                                # .atc manifest and the netCDF attr
+                                # writers round-trip scalars
+                                va["pack_min"] = float(mn)
+                                va["pack_max"] = float(mx)
                     self.data[var] = arr
                     self.var_attrs[var] = va
                     new_vars.append(var)
@@ -646,13 +655,13 @@ class Cutout:
             if not dims or dims[0] != "time" or np.ndim(self.data[n]) != 3:
                 continue
             if n not in cache:
-                stored = self.var_attrs.get(n, {}).get("pack_range")
-                if stored is not None:
+                va = self.var_attrs.get(n, {})
+                if "pack_min" in va and "pack_max" in va:
                     # range persisted at prepare() time: skips a full host
                     # pass over the stored array.  A sel() subset keeps
                     # the (wider) global range — still-correct bounds,
                     # marginally coarser quantization.
-                    mn, mx = float(stored[0]), float(stored[1])
+                    mn, mx = float(va["pack_min"]), float(va["pack_max"])
                 else:
                     a = np.asarray(self.data[n])
                     with np.errstate(invalid="ignore"):

@@ -137,14 +137,17 @@ class DataArray:
                 if isinstance(idx, pd.DatetimeIndex):
                     # pandas label slicing: handles string endpoints incl.
                     # partial labels ("2013-01" = the whole month), the
-                    # xarray idiom every converter result supports
-                    sl = idx.slice_indexer(v.start, v.stop)
-                    pos = np.arange(len(idx))[sl]
-                    if v.step is not None:
-                        pos = pos[::v.step]
-                    isels[d] = pos
+                    # xarray idiom every converter result supports; the
+                    # step (incl. negative) goes through slice_indexer so
+                    # .loc semantics apply exactly
+                    sl = idx.slice_indexer(v.start, v.stop, v.step)
+                    isels[d] = np.arange(len(idx))[sl]
                     continue
                 lo, hi = v.start, v.stop
+                if v.step is not None and v.step < 0:
+                    # .loc negative-step semantics: start is the UPPER
+                    # label, stop the lower, both inclusive, descending
+                    lo, hi = hi, lo
                 mask = np.ones(len(idx), dtype=bool)
                 vals = idx.values
                 if lo is not None:
@@ -153,7 +156,7 @@ class DataArray:
                     mask &= vals <= max(lo, hi) if lo is not None else vals <= hi
                 pos = np.where(mask)[0]
                 if v.step is not None:
-                    pos = pos[::v.step]
+                    pos = pos[::-1][::-v.step] if v.step < 0 else pos[::v.step]
                 isels[d] = pos
             elif np.ndim(v) == 0:
                 if method == "nearest":

@@ -230,6 +230,15 @@ def _code_select(values, codes):
     return np.isin(values, codes_arr)
 
 
+def _nodata_selected(d):
+    """Whether the layer's code test selects its nodata value (the value
+    out-of-extent samples take), evaluated in the raster's own dtype so
+    signed/unsigned wrapping matches the in-extent test."""
+    vals_dtype = np.asarray(d["raster"].data).dtype
+    return bool(_code_select(
+        np.array([d["nodata"]], dtype=vals_dtype), d["codes"])[0])
+
+
 def _native_code_mask(d):
     """The layer's code mask evaluated ONCE on the raster's NATIVE grid
     (r4 verdict item 8: code masks are shape/lattice-independent).
@@ -244,10 +253,8 @@ def _native_code_mask(d):
     cached = d.get("_native_mask")
     if cached is None or cached[0] != key:
         r = d["raster"]
-        vals = np.asarray(r.data)
-        sel = _code_select(vals, codes)
-        nod = bool(_code_select(
-            np.array([d["nodata"]], dtype=vals.dtype), codes)[0])
+        sel = _code_select(np.asarray(r.data), codes)
+        nod = _nodata_selected(d)
         cached = d["_native_mask"] = (
             key, Raster(sel, r.transform, r.crs, nod), nod)
     return cached[1], cached[2]
@@ -295,11 +302,7 @@ def build_exclusion_mask(excluder, transform, shape, crop_geoms=None):
             if not overlap:
                 # the scalar nodata outcome is all that matters; do not
                 # build a full-raster mask for a window it never touches
-                vals_dtype = np.asarray(d["raster"].data).dtype
-                nod = bool(_code_select(
-                    np.array([d["nodata"]], dtype=vals_dtype),
-                    d["codes"])[0])
-                sel = np.full(shape, nod, dtype=bool)
+                sel = np.full(shape, _nodata_selected(d), dtype=bool)
             else:
                 mask_r, nod = _native_code_mask(d)
                 sel = reproject_nearest(mask_r, transform, excluder.crs,

@@ -477,7 +477,8 @@ def test_pack_params_rejects_inf(cutout_week):
     from atlite_tpu.cutout import Cutout
 
     # drop the prepare()-stamped range so pack_params inspects the data
-    va = {k: {kk: vv for kk, vv in v.items() if kk != "pack_range"}
+    va = {k: {kk: vv for kk, vv in v.items()
+              if kk not in ("pack_min", "pack_max")}
           for k, v in c.var_attrs.items()}
     c2 = Cutout(None, data=c2_data, grid_desc=c.grid_desc,
                 attrs=dict(c.attrs), var_attrs=va)
@@ -510,17 +511,33 @@ def test_pack_range_persisted_in_store(tmp_path):
     c = Cutout(tmp_path / "pr", module="synthetic", x=slice(-4, -2),
                y=slice(56, 58), time="2013-01-01")
     c.prepare(features=["wind"])
-    assert "pack_range" in c.var_attrs["wnd100m"]
+    assert "pack_min" in c.var_attrs["wnd100m"]
     re = Cutout(tmp_path / "pr")  # reopen: range comes from the manifest
-    pr = re.var_attrs["wnd100m"]["pack_range"]
+    lo = re.var_attrs["wnd100m"]["pack_min"]
+    hi = re.var_attrs["wnd100m"]["pack_max"]
     arr = np.asarray(re.data["wnd100m"])
-    assert pr[0] <= arr.min() and pr[1] >= arr.max()
+    assert lo <= arr.min() and hi >= arr.max()
     params = re.pack_params(["wnd100m"])
     off, scale, lg = params["wnd100m"]
-    ref_lo = np.log(pr[0]) if lg else pr[0]
+    ref_lo = np.log(lo) if lg else lo
     assert np.isclose(off, ref_lo)
+    # scalar attrs survive the netCDF writer too (r5 review finding)
+    c.to_netcdf(tmp_path / "pr.nc")
+    nc = Cutout(tmp_path / "pr.nc")
+    assert np.isclose(nc.var_attrs["wnd100m"]["pack_min"], lo)
     # streamed packed conversion on the reopened store matches unpacked
     full = np.asarray(re.wind("Vestas_V112_3MW", aggregate_time=None).values)
     packed = np.asarray(re.wind("Vestas_V112_3MW", aggregate_time=None,
                                 time_chunk=12, stream_pack="int16").values)
     assert np.abs(packed - full).max() < 2e-3
+
+
+def test_stream_pack_collapsed_chunksize_fails_loudly(tmp_path):
+    """r5 review: a stored chunksize >= T collapses streaming to an
+    unstreamed run — stream_pack must still raise, not silently stage
+    raw f32."""
+    c = Cutout(tmp_path / "cc", module="synthetic", x=slice(-4, -2),
+               y=slice(56, 58), time="2013-01-01", chunksize_time=10_000)
+    c.prepare(features=["wind"])
+    with pytest.raises(ValueError, match="stream_pack requires"):
+        c.wind("Vestas_V112_3MW", aggregate_time=None, stream_pack="int16")

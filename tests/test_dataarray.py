@@ -173,3 +173,28 @@ def test_sel_numeric_slice_step():
                    dims=("x",))
     s = da.sel(x=slice(1.0, 8.0, 3))
     np.testing.assert_array_equal(s.values, np.arange(2, 17, 3))
+
+
+def test_sel_negative_slice_step_loc_semantics():
+    """r5 review: slice(8, None, -1) must mean 'from label 8 DOWNWARD'
+    (pandas .loc semantics), not 'labels >= 8 reversed'."""
+    import pandas as pd
+
+    from atlite_tpu.dataarray import DataArray
+
+    da = DataArray(np.arange(20.0), coords={"x": np.arange(20.0)},
+                   dims=("x",))
+    s = pd.Series(np.arange(20.0), index=np.arange(20.0))
+    for sl in (slice(8.0, None, -1), slice(None, 8.0, -1),
+               slice(12.0, 3.0, -2), slice(3.0, 15.0, 4)):
+        np.testing.assert_array_equal(
+            da.sel(x=sl).values, s.loc[sl].values, err_msg=str(sl))
+
+    times = pd.date_range("2013-01-01", periods=48, freq="h")
+    dat = DataArray(np.arange(48.0), coords={"time": times.values},
+                    dims=("time",))
+    st = pd.Series(np.arange(48.0), index=times)
+    for sl in (slice("2013-01-02", None, -1), slice(None, None, -6),
+               slice("2013-01-02 10:00", "2013-01-01 05:00", -3)):
+        np.testing.assert_array_equal(
+            dat.sel(time=sl).values, st.loc[sl].values, err_msg=str(sl))
