@@ -319,7 +319,15 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     cached = getattr(excluder, "_fine_mask_cache", None)
     if cached is not None and cached[0] == cache_key:
         excl_full = cached[1]
-        get_excl = lambda b0, b1: excl_full[b0:b1]
+        # per-block parts cached by the cold build: when the warm call's
+        # block structure matches (the common case), reuse them directly —
+        # each excl_full[b0:b1] slice is otherwise a fresh device op whose
+        # first-use compile cost ~0.3 s/offset through the relay (measured:
+        # the first warm call paid ~2 s in slice compiles)
+        cached_parts = cached[2] if len(cached) > 2 else {}
+        get_excl = lambda b0, b1: (
+            cached_parts.get((b0, b1))
+            if cached_parts.get((b0, b1)) is not None else excl_full[b0:b1])
         finish_excl = lambda: None
     elif any(callable(d["codes"]) for d in excluder.rasters):
         # a CALLABLE code filter gets handed the projected array and need
@@ -392,8 +400,15 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             # never leaks the worker thread or queued build futures
             _bex.shutdown(wait=True, cancel_futures=True)
             if len(_parts) == len(_bounds_list):
+                full = (jnp.concatenate(_parts, axis=0)
+                        if len(_parts) > 1 else _parts[0])
+                # force compile + materialization NOW: deferring it made
+                # the FIRST warm call pay ~1.2 s for the concatenate
+                # (measured; warm calls then settle at 0.7 s) — the cost
+                # belongs to the cold call that built the cache
+                full.block_until_ready()
                 excluder._fine_mask_cache = (
-                    cache_key, jnp.concatenate(_parts, axis=0))
+                    cache_key, full, dict(zip(_bounds_list, _parts)))
 
     tr = g.transform_r
     same_crs = _ncrs(crs) == _ncrs(cutout.crs)

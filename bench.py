@@ -286,29 +286,36 @@ def bench_streamed(T=8760, Y=48, X=64, B=20, time_chunk=730):
         kwargs = dict(turbine="Vestas_V112_3MW", matrix=matrix,
                       index=list(range(B)), aggregate_time=None)
 
+        def timed_once(**extra):
+            t0 = time.perf_counter()
+            out = c.wind(**kwargs, **extra)
+            # np result: already synced by the host concatenation
+            vals = np.asarray(out.values)
+            assert np.isfinite(vals).all()
+            return time.perf_counter() - t0, vals
+
         def timed(**extra):
-            best = np.inf
-            vals = None
+            best, vals = np.inf, None
             for _ in range(2):
-                t0 = time.perf_counter()
-                out = c.wind(**kwargs, **extra)
-                # np result: already synced by the host concatenation
-                vals = np.asarray(out.values)
-                assert np.isfinite(vals).all()
-                best = min(best, time.perf_counter() - t0)
+                secs, vals = timed_once(**extra)
+                best = min(best, secs)
             return best, vals
 
-        # streamed: chunks staged from the mmap'd store (background-thread
-        # double buffering) with the bus aggregation fused per chunk so
-        # only (B, T_chunk) series read back (convert._chunked_convert)
-        timed(time_chunk=time_chunk)  # warm-up (compile + page cache)
-        stream_secs, stream_vals = timed(time_chunk=time_chunk)
-
-        # CF-packed int16 staging: half the wire bytes, elementwise
-        # on-device reconstruction (no gathers)
-        timed(time_chunk=time_chunk, stream_pack="int16")  # pack_params
-        packed_secs, packed_vals = timed(time_chunk=time_chunk,
-                                         stream_pack="int16")
+        # streamed raw vs CF-packed int16 (half the wire bytes,
+        # elementwise device reconstruction): warm both up, then
+        # INTERLEAVE the timed repetitions — the relay rate drifts within
+        # a session, and consecutive-block timing would bias whichever
+        # variant ran during the faster interval
+        timed_once(time_chunk=time_chunk)  # warm-up (compile + page cache)
+        timed_once(time_chunk=time_chunk, stream_pack="int16")  # pack_params
+        stream_secs = packed_secs = np.inf
+        stream_vals = packed_vals = None
+        for _ in range(2):
+            secs, stream_vals = timed_once(time_chunk=time_chunk)
+            stream_secs = min(stream_secs, secs)
+            secs, packed_vals = timed_once(time_chunk=time_chunk,
+                                           stream_pack="int16")
+            packed_secs = min(packed_secs, secs)
 
         # resident: all fields pre-staged to HBM (fields() device cache)
         c.fields()
