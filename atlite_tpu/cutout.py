@@ -662,6 +662,9 @@ class Cutout:
                     # the (wider) global range — still-correct bounds,
                     # marginally coarser quantization.
                     mn, mx = float(va["pack_min"]), float(va["pack_max"])
+                elif "pack_range" in va:  # stores written by the first
+                    # r5 iteration persisted a [min, max] list
+                    mn, mx = (float(v) for v in va["pack_range"])
                 else:
                     a = np.asarray(self.data[n])
                     with np.errstate(invalid="ignore"):

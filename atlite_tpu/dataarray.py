@@ -145,8 +145,13 @@ class DataArray:
                     continue
                 lo, hi = v.start, v.stop
                 if v.step is not None and v.step < 0:
-                    # .loc negative-step semantics: start is the UPPER
-                    # label, stop the lower, both inclusive, descending
+                    # .loc negative-step semantics on an ascending index:
+                    # start is the UPPER label, stop the lower, both
+                    # inclusive, descending; a misordered pair (start
+                    # below stop) selects nothing, exactly like pandas
+                    if lo is not None and hi is not None and lo < hi:
+                        isels[d] = np.empty(0, dtype=np.int64)
+                        continue
                     lo, hi = hi, lo
                 mask = np.ones(len(idx), dtype=bool)
                 vals = idx.values

@@ -192,6 +192,26 @@ def _unpack_mask_device(packed, n):
     return bits.reshape(-1)[:n].astype(jnp.bool_)
 
 
+def _excl_from_parts(parts):
+    """Block accessor over a cached {(b0, b1): device_block} mask: direct
+    hit for a matching block, lazy one-time concatenation + slice for a
+    mismatched block structure (e.g. a different shape count changed
+    row_block)."""
+    state = {}
+
+    def get_excl(b0, b1):
+        blk = parts.get((b0, b1))
+        if blk is not None:
+            return blk
+        if "full" not in state:
+            ordered = [parts[k] for k in sorted(parts)]
+            state["full"] = (jnp.concatenate(ordered, axis=0)
+                             if len(ordered) > 1 else ordered[0])
+        return state["full"][b0:b1]
+
+    return get_excl
+
+
 class _BlockExcluder:
     """Read-only per-block view of an ExclusionContainer for the pipelined
     cold mask build: rasters carry allow_no_overlap=True (the overlap
@@ -318,16 +338,13 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
     # item 8; the cold call previously cost 4-5x warm).
     cached = getattr(excluder, "_fine_mask_cache", None)
     if cached is not None and cached[0] == cache_key:
-        excl_full = cached[1]
-        # per-block parts cached by the cold build: when the warm call's
-        # block structure matches (the common case), reuse them directly —
-        # each excl_full[b0:b1] slice is otherwise a fresh device op whose
-        # first-use compile cost ~0.3 s/offset through the relay (measured:
-        # the first warm call paid ~2 s in slice compiles)
-        cached_parts = cached[2] if len(cached) > 2 else {}
-        get_excl = lambda b0, b1: (
-            cached_parts.get((b0, b1))
-            if cached_parts.get((b0, b1)) is not None else excl_full[b0:b1])
+        # the cache holds the cold build's PER-BLOCK device parts (one
+        # copy of the mask).  A warm call with the same block structure
+        # (the common case) reuses them directly — each fresh slice of a
+        # full array is a device op whose first-use compile costs
+        # ~0.3 s/offset through the relay (bench_runs/r05_warm_probe.json)
+        # — and a mismatched structure concatenates once, lazily.
+        get_excl = _excl_from_parts(cached[1])
         finish_excl = lambda: None
     elif any(callable(d["codes"]) for d in excluder.rasters):
         # a CALLABLE code filter gets handed the projected array and need
@@ -339,8 +356,9 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
         packed = np.packbits(exclusions)
         excl_full = _unpack_mask_device(
             jnp.asarray(packed), ny * nx).reshape(ny, nx)
-        excluder._fine_mask_cache = (cache_key, excl_full)
-        get_excl = lambda b0, b1: excl_full[b0:b1]
+        excluder._fine_mask_cache = (cache_key, {(0, ny): excl_full})
+        get_excl = lambda b0, b1: (excl_full if (b0, b1) == (0, ny)
+                                   else excl_full[b0:b1])
         finish_excl = lambda: None
     else:
         from concurrent.futures import ThreadPoolExecutor
@@ -400,15 +418,11 @@ def availability_matrix_device(cutout, shapes_geoms, excluder,
             # never leaks the worker thread or queued build futures
             _bex.shutdown(wait=True, cancel_futures=True)
             if len(_parts) == len(_bounds_list):
-                full = (jnp.concatenate(_parts, axis=0)
-                        if len(_parts) > 1 else _parts[0])
-                # force compile + materialization NOW: deferring it made
-                # the FIRST warm call pay ~1.2 s for the concatenate
-                # (measured; warm calls then settle at 0.7 s) — the cost
-                # belongs to the cold call that built the cache
-                full.block_until_ready()
+                # cache the parts themselves — ONE copy of the mask in
+                # HBM (a concatenated duplicate would pin another ~100 MB
+                # per 806-Mpix continental excluder)
                 excluder._fine_mask_cache = (
-                    cache_key, full, dict(zip(_bounds_list, _parts)))
+                    cache_key, dict(zip(_bounds_list, _parts)))
 
     tr = g.transform_r
     same_crs = _ncrs(crs) == _ncrs(cutout.crs)

@@ -186,7 +186,8 @@ def test_sel_negative_slice_step_loc_semantics():
                    dims=("x",))
     s = pd.Series(np.arange(20.0), index=np.arange(20.0))
     for sl in (slice(8.0, None, -1), slice(None, 8.0, -1),
-               slice(12.0, 3.0, -2), slice(3.0, 15.0, 4)):
+               slice(12.0, 3.0, -2), slice(3.0, 15.0, 4),
+               slice(3.0, 12.0, -2)):  # misordered descending -> empty
         np.testing.assert_array_equal(
             da.sel(x=sl).values, s.loc[sl].values, err_msg=str(sl))
 

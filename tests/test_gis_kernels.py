@@ -325,10 +325,15 @@ def test_availability_device_blocked_build_with_buffered_geometry(cutout):
     a_blk = availability_matrix_device(cutout, shapes, exc_blk,
                                        max_device_pixels=150_000)
     np.testing.assert_allclose(a_blk, a_one, atol=1e-6)
-    # warm call rides the concatenated cached device mask
+    # warm call rides the cached per-block device masks
     a_warm = availability_matrix_device(cutout, shapes, exc_blk,
                                         max_device_pixels=150_000)
     np.testing.assert_allclose(a_warm, a_blk, atol=1e-6)
+    # a warm call with a DIFFERENT block structure takes the lazy
+    # concatenate-and-slice path over the cached parts
+    a_warm2 = availability_matrix_device(cutout, shapes, exc_blk,
+                                         max_device_pixels=400_000)
+    np.testing.assert_allclose(a_warm2, a_blk, atol=1e-6)
 
 
 def test_code_select_matches_isin():
