@@ -38,29 +38,34 @@ def spdiag(v):
 
 
 @jax.jit
-def _dense_spmm(flat_tc, dense_m):
+def _dense_spmm(flat_tc, dense_m, struct=None):
     """Dense-matrix aggregation with the reference's SPARSE NaN
     semantics: scipy's csr matmul skips structural zeros, so a NaN cell
     poisons only the buses whose region contains it — a plain dense
     matmul would spread it to EVERY bus (NaN * 0 = NaN).  Structure is
     taken as value != 0 (explicit stored zeros, which scipy would let
     propagate NaN, are indistinguishable after densification —
-    documented divergence)."""
+    documented divergence).  ``struct`` (the != 0 indicator) may be
+    passed pre-staged (spmm_closure does) to skip recomputing it per
+    call; dense_m is a traced argument, so the indicator cannot
+    constant-fold on its own."""
     # accumulate at (at least) the input precision; on TPU f32 inputs this
     # keeps the MXU accumulator in f32
     acc = jnp.promote_types(flat_tc.dtype, jnp.float32)
     # UNCONDITIONAL formulation, deliberately no lax.cond: a cond
     # materializes its (T, C) operands and breaks producer fusion with
     # the physics pipeline — measured ~25% off the whole step; the
-    # indicator matmul against the constant-folded structure mask is
-    # MXU-cheap and the isnan/where fuse into the producer.
+    # indicator matmul against the structure mask is MXU-cheap and the
+    # isnan/where fuse into the producer.
     nan_mask = jnp.isnan(flat_tc)
+    if struct is None:
+        struct = (dense_m != 0).astype(acc)
     # precision=HIGHEST keeps f32 inputs from being truncated to bf16
     # on the MXU (measured ~6e-4 relative error otherwise)
     out = jnp.dot(jnp.where(nan_mask, 0, flat_tc), dense_m.T,
                   preferred_element_type=acc,
                   precision=jax.lax.Precision.HIGHEST)
-    touched = jnp.dot(nan_mask.astype(acc), (dense_m != 0).T.astype(acc),
+    touched = jnp.dot(nan_mask.astype(acc), struct.T.astype(acc),
                       preferred_element_type=acc)
     return jnp.where(touched > 0, jnp.asarray(jnp.nan, dtype=out.dtype), out)
 
@@ -113,8 +118,11 @@ def spmm_closure(matrix, resident=True):
             flat = jnp.asarray(flat)
             if "dense" not in state or state["dt"] != flat.dtype:
                 state["dt"] = flat.dtype
-                state["dense"] = jnp.asarray(matrix.toarray(), dtype=flat.dtype)
-            return _dense_spmm(flat, state["dense"])
+                dense = matrix.toarray()
+                state["dense"] = jnp.asarray(dense, dtype=flat.dtype)
+                acc = jnp.promote_types(flat.dtype, jnp.float32)
+                state["struct"] = jnp.asarray(dense != 0, dtype=acc)
+            return _dense_spmm(flat, state["dense"], state["struct"])
 
         return run
 

@@ -43,6 +43,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     global _initialized
     if _initialized:
         return
+    import jax
+
+    # a user may legitimately have called jax.distributed.initialize()
+    # directly (mesh.py's docstring suggests it) — honor the promise of
+    # idempotence against JAX's own state, not just this module's flag
+    if getattr(jax.distributed, "is_initialized", lambda: False)() or \
+            getattr(getattr(jax.distributed, "global_state", None),
+                    "client", None) is not None:
+        _initialized = True
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:

@@ -95,17 +95,6 @@ def shard_fields(mesh, fields, tables=None):
     return out, tabs
 
 
-def pad_to_multiple(arr, axis, multiple):
-    """Zero-pad a dimension up to a multiple (shardable shapes)."""
-    size = arr.shape[axis]
-    pad = (-size) % multiple
-    if pad == 0:
-        return arr, size
-    widths = [(0, 0)] * arr.ndim
-    widths[axis] = (0, pad)
-    return np.pad(arr, widths), size
-
-
 def halo_exchange(block, halo, axis_name="x"):
     """Exchange ``halo`` columns with ring neighbors along a mesh axis.
 
@@ -117,8 +106,8 @@ def halo_exchange(block, halo, axis_name="x"):
 
     Uses ``ppermute`` — XLA lowers it to neighbor ICI transfers.
     """
-    import jax.numpy as jnp
-
+    if halo == 0:
+        return block  # block[..., -0:] would select the WHOLE block
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     right_edge = block[..., -halo:]
@@ -144,8 +133,14 @@ def sharded_regrid_bilinear(mesh, src_x, src_y, dst_x, dst_y, halo=None):
     interpolation reads up to ``halo`` columns past the shard boundary,
     provided by :func:`halo_exchange` (ICI neighbor transfer), overlapped
     by XLA with the local compute.
+
+    Both interpolations are SEPARABLE MATRIX CONTRACTIONS (the repo's
+    standard regrid formulation): a static (DY, Y) matrix for y and a
+    per-shard (dx_local, x_local+2*halo) matrix stacked over shards and
+    delivered through the mesh sharding — no dynamic gathers on the
+    device path (CLAUDE.md rule; an earlier formulation indexed the
+    padded columns with runtime offsets).
     """
-    import jax.numpy as jnp
     from jax import shard_map
 
     nx_shards = mesh.shape["x"]
@@ -186,37 +181,44 @@ def sharded_regrid_bilinear(mesh, src_x, src_y, dst_x, dst_y, halo=None):
             f"{x_local}: the dst grid is too offset from the src domain "
             "decomposition — regrid unsharded or use fewer x shards")
 
-    fx = jnp.asarray(fx)
-    fy_arr = jnp.asarray(fy)
+    Ysrc, DY = len(src_y), len(dst_y)
+    # y interpolation matrix (DY, Ysrc), static and replicated
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, Ysrc - 2)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    My = np.zeros((DY, Ysrc))
+    My[np.arange(DY), y0] = 1.0 - wy
+    My[np.arange(DY), y0 + 1] += wy
+
+    # per-shard x interpolation matrices over the halo-padded local
+    # columns, stacked (nxs, dx_local, x_local + 2*halo) and sharded over
+    # "x" so each device receives exactly its own matrix
+    wpad = x_local + 2 * halo
+    Mx = np.zeros((nx_shards, dx_local, wpad))
+    for i in range(nx_shards):
+        rel = fx[i * dx_local:(i + 1) * dx_local] - i * x_local + halo
+        x0 = np.clip(np.floor(rel).astype(np.int64), 0, wpad - 2)
+        wx = np.clip(rel - x0, 0.0, 1.0)
+        Mx[i, np.arange(dx_local), x0] = 1.0 - wx
+        Mx[i, np.arange(dx_local), x0 + 1] += wx
+
+    My_d = jnp.asarray(My)
+    Mx_d = put_global(Mx, NamedSharding(mesh, P("x")))
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P("t", None, "x"),),
+        in_specs=(P("t", None, "x"), P("x")),
         out_specs=P("t", None, "x"),
         check_vma=False,
     )
-    def _regrid(block):
-        xi = jax.lax.axis_index("x")
+    def _regrid(block, mx_l):
         padded = halo_exchange(block, halo, "x")  # (t, Y, x_local + 2h)
+        gy = jnp.einsum("dy,tyx->tdx", My_d.astype(block.dtype), padded,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ox,tdx->tdo", mx_l[0].astype(block.dtype), gy,
+                          precision=jax.lax.Precision.HIGHEST)
 
-        # y interpolation (local)
-        y0 = jnp.clip(jnp.floor(fy_arr).astype(jnp.int32), 0, block.shape[1] - 2)
-        wy = jnp.clip(fy_arr - y0, 0.0, 1.0)
-        gy = (padded[:, y0, :] * (1 - wy)[None, :, None]
-              + padded[:, y0 + 1, :] * wy[None, :, None])
-
-        # x interpolation against the halo-padded local columns
-        dst_lo = xi * dx_local
-        fx_loc = jax.lax.dynamic_slice(fx, (dst_lo,), (dx_local,))
-        rel = fx_loc - (xi * x_local) + halo
-        x0 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0,
-                      x_local + 2 * halo - 2)
-        wx = jnp.clip(rel - x0, 0.0, 1.0)
-        out = (gy[:, :, x0] * (1 - wx)[None, None, :]
-               + gy[:, :, x0 + 1] * wx[None, None, :])
-        return out
-
-    return jax.jit(_regrid)
+    regrid = jax.jit(_regrid)
+    return lambda field: regrid(field, Mx_d)
 
 
 def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
@@ -231,6 +233,12 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
     ICI "x" axis.  Time stays sharded end-to-end.  This is the multi-chip
     path for matrices too large to densify (4096 buses x 200k cells and
     beyond).
+
+    NaN semantics match the single-device banded path (and the
+    reference): a NaN cell poisons exactly the buses whose rows touch it
+    — the kernel contracts a NaN indicator against the band STRUCTURE
+    alongside the numeric part (one extra matmul, same tradeoff
+    aggregate._dense_spmm makes).
     """
     import scipy.sparse as sp
     from jax import shard_map
@@ -240,6 +248,11 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
     nxs = mesh.shape["x"]
     B = matrix.shape[0]
     assert X % nxs == 0, f"X={X} must divide the mesh x axis ({nxs})"
+    if matrix.shape[1] != Y * X:
+        raise ValueError(
+            f"matrix has {matrix.shape[1]} columns but the grid has "
+            f"{Y}*{X}={Y * X} cells — a mismatched matrix would silently "
+            "drop columns")
     xloc = X // nxs
     csc = sp.csc_matrix(matrix)
 
@@ -265,30 +278,69 @@ def sharded_aggregate_banded(mesh, matrix, Y, X, block_b=128, align=256):
     ]).astype(np.int32)
 
     xs = NamedSharding(mesh, P("x"))
-    bands_d = put_global(np.asarray(bands, np.float32), xs)
     tidx_d = put_global(tile_idx, xs)
     inv_d = put_global(inverse, xs)
 
     @jax.jit
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P("t", None, "x"), P("x"), P("x"), P("x")),
+        in_specs=(P("t", None, "x"), P("x"), P("x"), P("x"), P("x")),
         out_specs=P("t", None),
         check_vma=False,
     )
-    def agg(field_block, bands_l, tidx_l, inv_l):
+    def agg(field_block, bands_l, struct_l, tidx_l, inv_l):
+        acc = field_block.dtype
         Tl = field_block.shape[0]
         flat = field_block.reshape(Tl, -1)  # local y-major (y, x_local) cells
-        fb = jnp.pad(flat.T, ((0, c_pad - flat.shape[1]), (0, 0)))
-        fb = fb.reshape(-1, align, Tl)
-        g = fb[jnp.clip(tidx_l[0], 0, fb.shape[0] - 1)].reshape(nb, W, Tl)
-        part = jnp.einsum("nbw,nwt->nbt", bands_l[0], g,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        out = part.reshape(B_pad, Tl)[inv_l[0]]
-        return jax.lax.psum(out[:B].T, "x")  # (T_local, B)
+        nanm = jnp.isnan(flat)
+        flat0 = jnp.where(nanm, jnp.zeros((), acc), flat)
 
-    return lambda field: agg(field, bands_d, tidx_d, inv_d)
+        def gather_tiles(f):
+            fb = jnp.pad(f.T, ((0, c_pad - f.shape[1]), (0, 0)))
+            fb = fb.reshape(-1, align, Tl)
+            return fb[jnp.clip(tidx_l[0], 0, fb.shape[0] - 1)] \
+                .reshape(nb, W, Tl)
+
+        g = gather_tiles(flat0)
+        part = jnp.einsum("nbw,nwt->nbt", bands_l[0], g,
+                          preferred_element_type=acc,
+                          precision=jax.lax.Precision.HIGHEST)
+        gnan = gather_tiles(nanm.astype(acc))
+        touched = jnp.einsum("nbw,nwt->nbt", struct_l[0], gnan,
+                             preferred_element_type=acc,
+                             precision=jax.lax.Precision.HIGHEST)
+        out = part.reshape(B_pad, Tl)[inv_l[0]][:B].T
+        tch = touched.reshape(B_pad, Tl)[inv_l[0]][:B].T
+        out, tch = jax.lax.psum((out, tch), "x")  # (T_local, B)
+        return jnp.where(tch > 0, jnp.asarray(jnp.nan, dtype=acc), out)
+
+    # stage bands AT THE FIELD DTYPE: hardcoding f32 silently truncated
+    # f64 aggregation weights under x64 (the exact regression to_banded
+    # fixed for the single-device path, bsr_spmm.py).  The matrix's own
+    # dtype is staged eagerly; a different field dtype restages once —
+    # except inside another jit trace, where caching a traced device_put
+    # would leak the tracer, so inline constants are used instead.
+    def _stage(dt):
+        return (put_global(np.asarray(bands, dt), xs),
+                put_global((np.asarray(bands) != 0).astype(dt), xs))
+
+    state = {"dt": np.dtype(bands.dtype)}
+    state["bands"], state["struct"] = _stage(state["dt"])
+
+    def run(field):
+        dt = jnp.result_type(field)
+        if dt != state["dt"]:
+            import jax.core
+
+            if isinstance(field, jax.core.Tracer):
+                return agg(field, jnp.asarray(np.asarray(bands, dt)),
+                           jnp.asarray((np.asarray(bands) != 0).astype(dt)),
+                           tidx_d, inv_d)
+            state["dt"] = dt
+            state["bands"], state["struct"] = _stage(dt)
+        return agg(field, state["bands"], state["struct"], tidx_d, inv_d)
+
+    return run
 
 
 def sharded_aggregate(mesh, matrix_dense, shape=None):

@@ -339,4 +339,14 @@ def bsr_spmm_pallas(bsr, flat_tc, time_tile=256):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsr["B_pad"], T_pad), flat_ct.dtype),
     )(row_blk, col_blk, blocks, flat_ct)
+    # pallas_call does NOT zero its output buffer and the kernel only
+    # writes row blocks that own at least one nonzero matrix block: a
+    # fully-empty bus row block would otherwise return uninitialized
+    # memory.  Mask with the (static) covered-rows indicator — where, not
+    # multiply, since uninitialized bytes can be NaN.
+    covered = np.zeros(bsr["B_pad"] // bb, dtype=bool)
+    covered[np.asarray(bsr["row_blk"])] = True
+    if not covered.all():
+        rows_ok = jnp.asarray(np.repeat(covered, bb))
+        out = jnp.where(rows_ok[:, None], out, jnp.zeros((), out.dtype))
     return out[: bsr["B"], :T].T

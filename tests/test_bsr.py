@@ -146,3 +146,37 @@ def test_bsr_empty_rows():
     assert out.shape == (10, 3)
     np.testing.assert_allclose(out[:, 0], 0)
     np.testing.assert_allclose(out[:, 1], 2.0)
+
+
+def test_bsr_pallas_empty_row_block_is_zero():
+    """r5 review: a bus row block with no nonzero matrix blocks must
+    return zeros — pallas_call leaves unvisited output blocks
+    uninitialized, so the wrapper masks uncovered rows."""
+    import scipy.sparse as sp
+
+    from atlite_tpu.ops.bsr_spmm import bsr_spmm_pallas, to_bsr
+
+    B, C, T, bb = 8, 32, 6, 4
+    rng = np.random.default_rng(3)
+    # rows 4..7 (= the second 4-row block) entirely empty
+    m = sp.csr_matrix(
+        (rng.random(16), (np.repeat(np.arange(4), 4),
+                          rng.choice(C, 16, replace=False))), shape=(B, C))
+    bsr = to_bsr(m, block_b=bb, block_c=8)
+    flat = rng.random((T, C)).astype(np.float32)
+    import jax.numpy as jnp
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(pl, "pallas_call", interp):
+        out = np.asarray(bsr_spmm_pallas(bsr, jnp.asarray(flat),
+                                         time_tile=8))
+    expected = flat @ m.toarray().T
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+    assert np.all(out[:, 4:] == 0.0)

@@ -66,3 +66,24 @@ def test_sharded_regrid_matches_serial():
         ))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial.values),
                                rtol=2e-6, atol=1e-6)
+
+
+def test_halo_exchange_zero_is_noop():
+    """r5 review: halo=0 must return the block unchanged (block[..., -0:]
+    would otherwise select the whole block and crash the concat)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from functools import partial
+
+    mesh = make_mesh(jax.devices()[:4], t_axis=1)
+    a = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, "x"),),
+             out_specs=P(None, "x"), check_vma=False)
+    def f(block):
+        return halo_exchange(block, 0, "x")
+
+    with mesh:
+        out = f(jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, P(None, "x"))))
+    np.testing.assert_array_equal(np.asarray(out), a)

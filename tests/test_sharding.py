@@ -180,3 +180,56 @@ def test_bench_multichip_harness_mechanics():
     ms1 = bm.bench_banded_at_size(1, T=32, Y=16, X=32, B=4, repeats=1)
     ms2 = bm.bench_banded_at_size(2, T=32, Y=16, X=32, B=4, repeats=1)
     assert np.isfinite([ms1, ms2]).all()
+
+
+def test_sharded_aggregate_banded_nan_semantics_and_dtype():
+    """r5 review: (a) a NaN cell poisons exactly the buses whose rows
+    touch it (sparse NaN semantics, matching the single-device banded
+    path), not every bus in its band block; (b) f64 fields keep f64
+    bands under x64 (the f32-hardcode truncation regression)."""
+    import scipy.sparse as sp
+
+    from atlite_tpu.aggregate import spmm
+    from atlite_tpu.core.mesh import make_mesh, sharded_aggregate_banded
+
+    mesh = make_mesh(jax.devices()[:8])
+    T = 2 * mesh.shape["t"]
+    Y, X, B = 12, 8 * mesh.shape["x"], 13
+    rng = np.random.default_rng(7)
+    field = rng.random((T, Y, X))  # f64 under x64
+    field[0, 3, 5] = np.nan
+    rows, cols, vals = [], [], []
+    for b in range(B):
+        y0 = rng.integers(0, Y - 3)
+        x0 = rng.integers(0, X - 3)
+        cc = (np.arange(y0, y0 + 3)[:, None] * X
+              + np.arange(x0, x0 + 3)[None, :]).ravel()
+        rows += [b] * len(cc)
+        cols += list(cc)
+        vals += list(rng.random(len(cc)) + 0.1)
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(B, Y * X))
+
+    agg = sharded_aggregate_banded(mesh, m, Y, X, block_b=4, align=16)
+    with mesh:
+        out = np.asarray(agg(jax.device_put(
+            field, NamedSharding(mesh, field_spec()))))
+    # oracle: the single-device sparse-NaN path
+    expected = np.asarray(spmm(m, field.reshape(T, -1)))
+    np.testing.assert_allclose(np.nan_to_num(out, nan=-7.0),
+                               np.nan_to_num(expected, nan=-7.0),
+                               rtol=1e-12, atol=1e-12)  # f64: exact-ish
+    # NaN lands only at (t=0, touching buses)
+    nan_cols = np.isnan(expected[0])
+    assert nan_cols.any() and not nan_cols.all()
+    assert np.array_equal(np.isnan(out), np.isnan(expected))
+
+
+def test_sharded_aggregate_banded_rejects_mismatched_columns():
+    import scipy.sparse as sp
+
+    from atlite_tpu.core.mesh import make_mesh, sharded_aggregate_banded
+
+    mesh = make_mesh(jax.devices()[:8])
+    m = sp.random(5, 100, density=0.2, format="csr")
+    with pytest.raises(ValueError, match="columns"):
+        sharded_aggregate_banded(mesh, m, 10, 8)  # 10*8 != 100
