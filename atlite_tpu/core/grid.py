@@ -65,7 +65,13 @@ def coordinate_range(x, y, time, dx=0.25, dy=0.25, dt="h"):
 
     times = pd.date_range(start="1940", end="now", freq=dt)
     if isinstance(time, slice):
-        times = times[(times >= pd.Timestamp(time.start)) & (times <= _end_of(time.stop))]
+        # open endpoints select everything on that side ('times >= NaT'
+        # would silently produce an EMPTY axis, pd.Timestamp(None) is NaT)
+        lo = (times >= pd.Timestamp(time.start)) if time.start is not None \
+            else np.ones(len(times), dtype=bool)
+        hi = (times <= _end_of(time.stop)) if time.stop is not None \
+            else np.ones(len(times), dtype=bool)
+        times = times[lo & hi]
     elif isinstance(time, (list, tuple)) and len(time) == 2:
         times = times[(times >= pd.Timestamp(time[0])) & (times <= _end_of(time[1]))]
     else:
@@ -96,9 +102,15 @@ def _end_of(label):
     return per.end_time.floor("ns")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Grid:
-    """Immutable cutout coordinate system (cell centers)."""
+    """Immutable cutout coordinate system (cell centers).
+
+    ``eq=False``: the generated dataclass __eq__ would compare ndarray
+    fields ambiguously (ValueError) and make Grid unhashable; identity
+    comparison + hashability is what cache keys need, and value equality
+    goes through the explicit coords checks (Cutout.equals,
+    store.update_store)."""
 
     x: np.ndarray  # (X,) float64, ascending cell-center longitudes / x
     y: np.ndarray  # (Y,) float64, ascending cell-center latitudes / y

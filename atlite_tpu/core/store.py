@@ -54,6 +54,13 @@ def write_store(path, grid, data, attrs, var_attrs):
     path = Path(path)
     parent = path.parent
     parent.mkdir(parents=True, exist_ok=True)
+    # sweep tmp dirs orphaned by a HARD crash (SIGKILL/power loss) of a
+    # previous write — the except-handler below only covers Python
+    # exceptions, and a continental store's tmp dir is tens of GB.
+    # Single-writer contract (as for the store itself).
+    for stale in parent.glob(path.name + ".tmp*"):
+        if stale.is_dir():
+            shutil.rmtree(stale, ignore_errors=True)
     tmp = Path(tempfile.mkdtemp(prefix=path.name + ".tmp", dir=parent))
     try:
         manifest = {
@@ -116,17 +123,17 @@ def update_store(path, grid, data, attrs, var_attrs, update_vars):
         return
     manifest = json.loads((path / MANIFEST).read_text())
     # the incremental path never rewrites untouched variable files, so
-    # the caller's grid must match the stored coords — otherwise the new
-    # .npy shapes and the manifest coords silently diverge
-    import pandas as pd
-
+    # the caller's grid must match the stored coords AND crs — otherwise
+    # the new .npy shapes / georeferencing and the manifest silently
+    # diverge
     stored = manifest["coords"]
     if (len(stored["x"]) != len(grid.x) or len(stored["y"]) != len(grid.y)
             or len(stored["time"]) != len(grid.time)
             or not np.allclose(stored["x"], grid.x)
             or not np.allclose(stored["y"], grid.y)
             or (pd.DatetimeIndex(stored["time"]).values
-                != np.asarray(grid.time)).any()):
+                != np.asarray(grid.time)).any()
+            or manifest.get("crs", 4326) != grid.crs):
         write_store(path, grid, data, attrs, var_attrs)  # full rewrite
         return
     update_vars = set(update_vars)
@@ -219,10 +226,14 @@ def read_store(path, mmap=True, verify=False):
 
 
 def _jsonable(v):
+    if isinstance(v, np.bool_):
+        return bool(v)  # checked before np.integer: np.bool_ is neither
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
         return float(v)
+    if isinstance(v, (np.datetime64, pd.Timestamp)):
+        return str(v)
     if isinstance(v, np.ndarray):
         return v.tolist()
     if isinstance(v, dict):

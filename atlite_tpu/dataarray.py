@@ -143,25 +143,27 @@ class DataArray:
                     sl = idx.slice_indexer(v.start, v.stop, v.step)
                     isels[d] = np.arange(len(idx))[sl]
                     continue
-                lo, hi = v.start, v.stop
-                if v.step is not None and v.step < 0:
-                    # .loc negative-step semantics on an ascending index:
-                    # start is the UPPER label, stop the lower, both
-                    # inclusive, descending; a misordered pair (start
-                    # below stop) selects nothing, exactly like pandas
-                    if lo is not None and hi is not None and lo < hi:
-                        isels[d] = np.empty(0, dtype=np.int64)
-                        continue
-                    lo, hi = hi, lo
-                mask = np.ones(len(idx), dtype=bool)
+                # pandas .loc label-slice semantics: start is the first
+                # label in TRAVERSAL order (index order, reversed for a
+                # negative step), bounds inclusive, and a misordered pair
+                # selects nothing
                 vals = idx.values
-                if lo is not None:
-                    mask &= vals >= min(lo, hi) if hi is not None else vals >= lo
-                if hi is not None:
-                    mask &= vals <= max(lo, hi) if lo is not None else vals <= hi
+                neg = v.step is not None and v.step < 0
+                idx_desc = len(vals) > 1 and vals[0] > vals[-1]
+                if idx_desc != neg:  # traversal runs high -> low
+                    upper, lower = v.start, v.stop
+                else:
+                    lower, upper = v.start, v.stop
+                mask = np.ones(len(idx), dtype=bool)
+                if lower is not None:
+                    mask &= vals >= lower
+                if upper is not None:
+                    mask &= vals <= upper
                 pos = np.where(mask)[0]
-                if v.step is not None:
-                    pos = pos[::-1][::-v.step] if v.step < 0 else pos[::v.step]
+                if neg:
+                    pos = pos[::-1]
+                if v.step is not None and abs(v.step) != 1:
+                    pos = pos[::abs(v.step)]
                 isels[d] = pos
             elif np.ndim(v) == 0:
                 if method == "nearest":
@@ -228,12 +230,33 @@ class DataArray:
         return self.copy(np.clip(np.asarray(self.values), min, max))
 
     def where(self, cond, other=np.nan):
-        cond = cond.values if isinstance(cond, DataArray) else cond
-        other = other.values if isinstance(other, DataArray) else other
+        # name-broadcast DataArray operands like _binop does — combining
+        # positionally would mask the wrong axis whenever sizes coincide
+        def aligned(x):
+            if not isinstance(x, DataArray):
+                return x
+            for d in x.dims:
+                if d not in self.dims:
+                    raise ValueError(
+                        f"where() operand has dimension {d!r} absent from "
+                        f"the array {self.dims}")
+                if (d in self.coords and d in x.coords
+                        and not np.array_equal(np.asarray(self.coords[d]),
+                                               np.asarray(x.coords[d]))):
+                    raise ValueError(
+                        f"coordinate {d!r} differs between where() "
+                        "operands; align with sel()/isel() first")
+            return _expand(np.asarray(x.values), x.dims, list(self.dims))
+
+        cond = aligned(cond)
+        other = aligned(other)
         return self.copy(np.where(cond, np.asarray(self.values), other))
 
     def fillna(self, value):
         v = np.asarray(self.values)
+        if not np.issubdtype(v.dtype, np.floating) and \
+                not np.issubdtype(v.dtype, np.complexfloating):
+            return self.copy(v)  # integer/bool data holds no NaN (xarray no-op)
         return self.copy(np.where(np.isnan(v), value, v))
 
     def rolling_mean(self, dim, window, min_periods=1):
@@ -328,6 +351,17 @@ class DataArray:
 
     def __lt__(self, o):
         return self._binop(o, np.less)
+
+    def __eq__(self, o):
+        # elementwise like xarray/numpy (the Python identity fallback
+        # silently returned a scalar bool); DataArrays are consequently
+        # unhashable, also like xarray
+        return self._binop(o, np.equal)
+
+    def __ne__(self, o):
+        return self._binop(o, np.not_equal)
+
+    __hash__ = None
 
     # -- plotting --------------------------------------------------------------
     def plot(self, ax=None, **kwargs):

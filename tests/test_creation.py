@@ -173,3 +173,20 @@ def test_end_of_rejects_non_iso_partials():
 
     assert _end_of("2011Q1") == pd.Timestamp("2011-01-01")  # an instant
     assert _end_of("2011-01") > pd.Timestamp("2011-01-31 23:00")
+
+
+def test_open_ended_time_slice():
+    """r5 core review: slice(None, end) / slice(start, None) time bounds
+    select everything on the open side instead of an empty axis
+    (pd.Timestamp(None) is NaT and 'times >= NaT' is all-False)."""
+    from atlite_tpu.core.grid import coordinate_range
+
+    _, _, t1 = coordinate_range(slice(-1, 0), slice(50, 51),
+                                slice("2013-01-05", None), 1.0, 1.0, "h")
+    import pandas as pd
+
+    assert len(t1) > 24
+    assert pd.DatetimeIndex(t1)[0] == pd.Timestamp("2013-01-05")
+    _, _, t2 = coordinate_range(slice(-1, 0), slice(50, 51),
+                                slice(None, "1940-01-02"), 1.0, 1.0, "h")
+    assert len(t2) == 48  # 1940-01-01 .. end of 1940-01-02

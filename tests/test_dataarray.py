@@ -199,3 +199,58 @@ def test_sel_negative_slice_step_loc_semantics():
                slice("2013-01-02 10:00", "2013-01-01 05:00", -3)):
         np.testing.assert_array_equal(
             dat.sel(time=sl).values, st.loc[sl].values, err_msg=str(sl))
+
+
+def test_where_name_broadcasts_and_eq_elementwise():
+    """r5 core review: where()/fillna align by DIM NAME (positional
+    combination masked the wrong axis when sizes coincide); ==/!= are
+    elementwise like xarray, and DataArrays are unhashable."""
+    from atlite_tpu.dataarray import DataArray
+
+    da = DataArray(np.arange(4.0).reshape(2, 2),
+                   coords={"time": np.array([0, 1]),
+                           "spatial": np.array([10, 20])},
+                   dims=("time", "spatial"))
+    cond = DataArray(np.array([True, False]),
+                     coords={"time": np.array([0, 1])}, dims=("time",))
+    out = da.where(cond, 0.0)
+    np.testing.assert_array_equal(out.values, [[0.0, 1.0], [0.0, 0.0]])
+    # mismatched coords refuse
+    bad = DataArray(np.array([True, False]),
+                    coords={"time": np.array([5, 6])}, dims=("time",))
+    with pytest.raises(ValueError, match="coordinate"):
+        da.where(bad, 0.0)
+    # elementwise ==
+    eq = da == 1.0
+    assert isinstance(eq, DataArray)
+    np.testing.assert_array_equal(eq.values, [[False, True], [False, False]])
+    with pytest.raises(TypeError):
+        hash(da)
+    # integer fillna is a no-op, not a TypeError
+    di = DataArray(np.arange(3), coords={"x": np.arange(3)}, dims=("x",))
+    np.testing.assert_array_equal(di.fillna(0).values, np.arange(3))
+
+
+def test_sel_descending_index_slices():
+    """Label slices on a DESCENDING coordinate follow pandas .loc."""
+    import pandas as pd
+
+    from atlite_tpu.dataarray import DataArray
+
+    vals = np.arange(10.0)
+    coord = np.arange(10.0)[::-1]  # 9..0 descending
+    da = DataArray(vals, coords={"x": coord}, dims=("x",))
+    s = pd.Series(vals, index=coord)
+    for sl in (slice(8.0, 3.0), slice(None, 4.0), slice(7.0, None),
+               slice(3.0, 8.0)):  # last: misordered -> empty
+        np.testing.assert_array_equal(
+            da.sel(x=sl).values, s.loc[sl].values, err_msg=str(sl))
+
+
+def test_sel_misordered_positive_slice_empty():
+    """pandas .loc: slice(8, 3) on an ascending index selects nothing."""
+    from atlite_tpu.dataarray import DataArray
+
+    da = DataArray(np.arange(10.0), coords={"x": np.arange(10.0)},
+                   dims=("x",))
+    assert len(da.sel(x=slice(8.0, 3.0)).values) == 0
