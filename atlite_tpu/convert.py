@@ -256,12 +256,14 @@ def convert_and_aggregate(
             matrix = sp.csr_matrix(matrix) @ spdiag(lv)
 
     assert isinstance(matrix, sp.csr_matrix)
-    if index is not None and isinstance(index, (pd.MultiIndex,)):
-        raise ValueError("index must have a single dimension")
     if index is None:
         index = pd.RangeIndex(matrix.shape[0])
     if not isinstance(index, pd.Index):
         index = pd.Index(index)
+    if isinstance(index, pd.MultiIndex):
+        # checked AFTER coercion: a list of tuples silently becomes a
+        # MultiIndex in pd.Index()
+        raise ValueError("index must have a single dimension")
 
     if time_chunk:
         results = _chunked_convert(cutout, convert_func, time_chunk,
@@ -875,7 +877,9 @@ def runoff(cutout, smooth=None, lower_threshold_quantile=None,
         tindex = pd.DatetimeIndex(res.coords["time"].values)
         counts = pd.Series(tindex.year).value_counts()
         years = counts[counts > 8700].index.intersection(nuy.index)
-        assert len(years), "Need at least a full year of data (more is better)"
+        if not len(years):  # user-input validation must survive python -O
+            raise ValueError(
+                "Need at least a full year of data (more is better)")
         lo, hi = int(years.min()), int(years.max())
         sel = (tindex.year >= lo) & (tindex.year <= hi)
         nuy_sum = nuy.loc[(nuy.index >= lo) & (nuy.index <= hi)].sum()
@@ -959,7 +963,17 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
     params.setdefault("epsilon", 0.6)
     params.setdefault("alpha", 0.6)
     df = pd.DataFrame({"psi": azimuth, "R": line_resistance}).assign(**params)
-    assert df.notnull().all().all(), "Nan values encountered."
+    expected = pd.Index(["psi", "R", "D", "Ts", "epsilon", "alpha"])
+    if not df.columns.equals(expected):
+        # reference convert.py:1352-1354: a misspelled tweak parameter
+        # (e.g. Epsilon=) must fail loudly, not become an inert column
+        # while the kernel silently uses the default
+        raise ValueError(
+            f"unexpected line-rating parameters "
+            f"{sorted(set(df.columns) - set(expected))}; "
+            f"expected {list(expected[2:])}")
+    if df.isnull().any().any():  # survives python -O, unlike assert
+        raise ValueError("Nan values encountered.")
 
     # vectorized padded (L, K) gather plan straight from the CSR structure:
     # csr .indices is row-major, so the row-major mask positions line up
@@ -970,9 +984,15 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
     cell_idx = np.zeros((L, K), dtype=np.int64)
     cell_idx[mask] = I.indices
 
-    fields = dict(cutout.fields())
+    # read stored variables straight from the (mmap'd) host store — the
+    # per-chunk host gather below needs host bytes, and staging the WHOLE
+    # cutout to HBM via fields() only to read it back doubled the wire
+    # traffic and could not scale to the full-year national grids this
+    # function streams for (r5 review finding)
+    data = cutout.data
     T = cutout.grid_desc.time.shape[0]
-    if "solar_altitude" not in fields or "solar_azimuth" not in fields:
+    extra = {}
+    if "solar_altitude" not in data or "solar_azimuth" not in data:
         # compute solar position on the fly when it is not a stored
         # variable (the reference's SolarPosition(ds) call inside
         # convert_line_rating, convert.py:1243-1247)
@@ -982,13 +1002,13 @@ def line_rating(cutout, shapes, line_resistance, show_progress=False,
             jnp.asarray(eph["declination"]), jnp.asarray(eph["hour_angle0"]),
             jnp.asarray(g.x), jnp.asarray(g.y),
         )
-        fields["solar_altitude"] = sp_["altitude"]
-        fields["solar_azimuth"] = sp_["azimuth"]
+        extra["solar_altitude"] = np.asarray(sp_["altitude"])
+        extra["solar_azimuth"] = np.asarray(sp_["azimuth"])
     need = ["temperature", "wnd100m", "height", "wnd_azimuth", "influx_direct",
             "solar_altitude", "solar_azimuth"]
-    flats = {v: np.asarray(fields[v]).reshape(T, -1)
-             if np.ndim(fields[v]) == 3 else np.asarray(fields[v]).reshape(-1)
-             for v in need}
+    srcs = {v: extra[v] if v in extra else np.asarray(data[v]) for v in need}
+    flats = {v: a.reshape(T, -1) if a.ndim == 3 else a.reshape(-1)
+             for v, a in srcs.items()}
     mask_dev = jnp.asarray(mask)
     static = {v: jnp.asarray(flats[v][cell_idx][:, :, None])
               for v in need if flats[v].ndim == 1}  # (L,K,1)

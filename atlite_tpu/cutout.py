@@ -205,7 +205,8 @@ class Cutout:
     @property
     def prepared_features(self):
         index = [
-            (self.var_attrs[v].get("module"), self.var_attrs[v].get("feature"))
+            (self.var_attrs.get(v, {}).get("module"),
+             self.var_attrs.get(v, {}).get("feature"))
             for v in self.data
         ]
         index = pd.MultiIndex.from_tuples(index, names=["module", "feature"])
@@ -825,6 +826,12 @@ def _read_netcdf_cutout(path):
     flip_y = len(y) > 1 and y[0] > y[-1]
     if flip_y:
         y = y[::-1].copy()
+    # the reference's maybe_swap_spatial_dims flips BOTH axes
+    # (gis.py:765-779); a descending-longitude file would otherwise load
+    # silently mirrored (Grid documents x ascending)
+    flip_x = len(x) > 1 and x[0] > x[-1]
+    if flip_x:
+        x = x[::-1].copy()
 
     attrs = dict(attrs)
     pf = attrs.get("prepared_features", [])
@@ -855,6 +862,8 @@ def _read_netcdf_cutout(path):
         arr = np.asarray(arr)
         if "y" in dnames and flip_y:
             arr = np.flip(arr, axis=dnames.index("y")).copy()
+        if "x" in dnames and flip_x:
+            arr = np.flip(arr, axis=dnames.index("x")).copy()
         va = dict(va)
         mod_feat = feature_of.get(name, (None, None))
         var_attrs[name] = {

@@ -200,27 +200,34 @@ class DataArray:
         )
 
     # -- reductions ----------------------------------------------------------
-    def _reduce(self, fn, dim, keep_attrs=True, **kw):
+    def _reduce(self, fn, nanfn, dim, keep_attrs=True, skipna=None, **kw):
+        # xarray semantics: skipna defaults to True for float data (the
+        # reference's aggregate_time sum/mean therefore SKIP NaN — the
+        # load-bearing convention; np.sum would poison whole buses)
+        v = np.asarray(self.values)
+        if skipna or (skipna is None and np.issubdtype(v.dtype, np.inexact)):
+            fn = nanfn
         if dim is None:
-            return fn(np.asarray(self.values), **kw)
+            return fn(v, **kw)
         axis = self.get_axis_num(dim)
-        values = fn(np.asarray(self.values), axis=axis, **kw)
+        with np.errstate(invalid="ignore"):  # all-NaN slices
+            values = fn(v, axis=axis, **kw)
         dims = tuple(d for d in self.dims if d != dim)
-        coords = {d: v for d, v in self.coords.items() if d != dim}
+        coords = {d: c for d, c in self.coords.items() if d != dim}
         return DataArray(values, coords=coords, dims=dims,
                          attrs=self.attrs if keep_attrs else None, name=self.name)
 
     def sum(self, dim=None, **kw):
-        return self._reduce(np.sum, dim, **kw)
+        return self._reduce(np.sum, np.nansum, dim, **kw)
 
     def mean(self, dim=None, **kw):
-        return self._reduce(np.mean, dim, **kw)
+        return self._reduce(np.mean, np.nanmean, dim, **kw)
 
     def min(self, dim=None, **kw):
-        return self._reduce(np.min, dim, **kw)
+        return self._reduce(np.min, np.nanmin, dim, **kw)
 
     def max(self, dim=None, **kw):
-        return self._reduce(np.max, dim, **kw)
+        return self._reduce(np.max, np.nanmax, dim, **kw)
 
     def quantile(self, q):
         return np.quantile(np.asarray(self.values), q)

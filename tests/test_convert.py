@@ -541,3 +541,29 @@ def test_stream_pack_collapsed_chunksize_fails_loudly(tmp_path):
     c.prepare(features=["wind"])
     with pytest.raises(ValueError, match="stream_pack requires"):
         c.wind("Vestas_V112_3MW", aggregate_time=None, stream_pack="int16")
+
+
+def test_aggregate_time_skips_nan(cutout):
+    """r5 review: the reference's xarray sum/mean skip NaN (skipna=True
+    for float data) — one NaN hour must not poison a cell's aggregate."""
+    st = cutout.soil_temperature(aggregate_time=None)
+    raw = np.asarray(cutout.data["soil temperature"])
+    # craft a series with NaNs: use the raw soil field directly
+    from atlite_tpu.dataarray import DataArray
+
+    da = DataArray(raw - 273.15, coords=dict(st.coords), dims=st.dims)
+    m = np.asarray(da.mean("time").values)
+    sea = np.isnan(raw).all(axis=0)
+    assert np.isfinite(m[~sea]).all()
+    # all-NaN cells stay NaN (nanmean of empty)
+    assert np.isnan(m[sea]).all() if sea.any() else True
+
+
+def test_convert_index_list_of_tuples_rejected(cutout):
+    import scipy.sparse as sp
+
+    m = sp.random(2, len(cutout.grid_desc.y) * len(cutout.grid_desc.x),
+                  density=0.1, format="csr")
+    with pytest.raises(ValueError, match="single dimension"):
+        cutout.wind("Vestas_V112_3MW", matrix=m,
+                    index=[("DE", 1), ("FR", 2)], aggregate_time=None)

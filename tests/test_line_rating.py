@@ -155,3 +155,13 @@ def test_line_rating_min_skips_nan_cells():
         np.array([0.028]), np.array([373.0]), np.array([0.8]),
         np.array([0.8])))
     assert np.isfinite(out[0, 0]) and out[0, 0] > 0
+
+
+def test_line_rating_rejects_unknown_parameters(cutout):
+    """r5 review: a misspelled tweak parameter must fail loudly instead
+    of becoming an inert DataFrame column (reference convert.py:1352)."""
+    from atlite_tpu.gis.geometry import LineString
+
+    line = LineString([(-3.0, 57.0), (0.0, 60.0)])
+    with pytest.raises(ValueError, match="Epsilon"):
+        cutout.line_rating([line], 1e-5, Epsilon=0.9)
