@@ -358,7 +358,12 @@ class Cutout:
         reference-signature parity; ``monthly_requests`` /
         ``concurrent_requests`` forward to retrieval-backed modules
         (datasets/era5.retrieval_times)."""
-        del data_format, dask_kwargs, show_progress
+        del dask_kwargs, show_progress
+        if data_format is not None:
+            # forwarded to retrieval-backed modules (the reference passes
+            # it through to the CDS request, data.py:137,235); the r5
+            # review found it silently swallowed
+            params.setdefault("data_format", data_format)
         if compression is None:
             compression = {"zlib": True, "complevel": 9, "shuffle": True}
         self._nc_compression = compression

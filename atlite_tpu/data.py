@@ -62,8 +62,9 @@ def get_features(cutout, module, features, data_format=None, tmpdir=None,
     """Load (but do not persist) the requested features from a module
     (reference data.py:27-73, same positional signature).  Returns
     {var: (dims, array)}."""
-    del data_format  # accepted for signature parity (one store format here)
     mod = datamodules[module]
+    if data_format is not None:
+        params.setdefault("data_format", data_format)
     params.setdefault("monthly_requests", monthly_requests)
     params.setdefault("concurrent_requests", concurrent_requests)
     out = {}

@@ -417,6 +417,9 @@ def get_data(cutout, feature, tmpdir=None, monthly_requests=False,
     import glob as _glob
 
     era5_files = era5_files or creation_parameters.get("era5_files")
+    if feature not in FEATURE_SHORTNAMES:
+        raise ValueError(f"unknown ERA5 feature {feature!r} "
+                         f"(have {sorted(FEATURE_SHORTNAMES)})")
     shorts = FEATURE_SHORTNAMES[feature]
     static = feature in static_features
     grid = cutout.grid_desc
@@ -479,16 +482,17 @@ def get_data(cutout, feature, tmpdir=None, monthly_requests=False,
         ds = {"runoff": sub["ro"]}
         if sanitize:
             ds = sanitize_runoff(ds)
-    elif feature == "height":
+    else:  # feature == "height" (the name was validated up front)
         ds = {"height": derive_height(sub["z"])}
-    else:
-        raise ValueError(f"unknown ERA5 feature {feature!r}")
 
     out = {}
     for name, arr in ds.items():
+        # no dtype cast here: Cutout.prepare stores at the cutout's own
+        # dtype (a float64 cutout keeps f64 for oracle fixtures; an
+        # unconditional f32 cast silently truncated it, r5 review)
         arr = np.asarray(arr)
         dims = ("y", "x") if arr.ndim == 2 else ("time", "y", "x")
-        out[name] = (dims, arr.astype(np.float32))
+        out[name] = (dims, arr)
     return out
 
 

@@ -67,6 +67,14 @@ def get_filenames(sarah_dir, time_index):
             files.str.extract(r"SI.in(\d{8})", expand=False))
         return files.sort_index()
 
+    for name in ("SIS", "SID"):
+        dup = _starting_with(name).index.duplicated()
+        if dup.any():
+            dates = _starting_with(name).index[dup].strftime("%Y%m%d")
+            raise ValueError(
+                f"duplicate {name} files for date(s) {sorted(set(dates))} "
+                f"under {sarah_dir} (the archive scan is recursive — remove "
+                "stray copies)")
     files = pd.concat(
         {"sis": _starting_with("SIS"), "sid": _starting_with("SID")},
         join="inner", axis=1,
@@ -82,21 +90,14 @@ def get_filenames(sarah_dir, time_index):
 
 
 def _unpack_cf(arr, attrs):
-    """CF packed-integer decoding: _FillValue -> NaN, then
-    scale_factor / add_offset (SARAH archives store SIS/SID as scaled
-    int16)."""
-    out = np.asarray(arr)
-    fill = attrs.get("_FillValue", attrs.get("missing_value"))
-    out = out.astype(np.float64)
-    if fill is not None:
-        out[np.asarray(arr) == np.asarray(fill)] = np.nan
-    scale = attrs.get("scale_factor")
-    offset = attrs.get("add_offset")
-    if scale is not None:
-        out = out * float(np.asarray(scale))
-    if offset is not None:
-        out = out + float(np.asarray(offset))
-    return out
+    """CF packed-integer decoding via the ONE shared implementation
+    (io/netcdf.unpack_cf, which masks BOTH _FillValue and missing_value —
+    a private copy here regressed that r4 fix); always returns float64
+    (SARAH archives store SIS/SID as scaled int16)."""
+    from atlite_tpu.io.netcdf import unpack_cf
+
+    out, _ = unpack_cf(arr, dict(attrs or {}))
+    return np.asarray(out, dtype=np.float64)
 
 
 def open_archive(paths, var, extent):
@@ -120,7 +121,13 @@ def open_archive(paths, var, extent):
                   if ren.get(k, k) in ("lon", "lat", "time")}
         lon = np.round(np.asarray(coords["lon"][1], dtype=float), 4)
         lat = np.round(np.asarray(coords["lat"][1], dtype=float), 4)
-        t = np.asarray(coords["time"][1], dtype="datetime64[ns]")
+        traw = np.asarray(coords["time"][1])
+        if traw.dtype.kind != "M":
+            # an undecoded numeric time would silently reinterpret raw
+            # values as epoch NANOSECONDS (same guard as era5._open_raw)
+            raise ValueError(
+                f"{p}: undecodable time coordinate (units not CF-parsed)")
+        t = traw.astype("datetime64[ns]")
         dnames, arr, vattrs = variables[var]
         vals = _unpack_cf(arr, vattrs)
         if vals.ndim == 2:
@@ -132,6 +139,9 @@ def open_archive(paths, var, extent):
         if len(lat) > 1 and lat[0] > lat[-1]:  # descending lat -> ascending
             lat = lat[::-1]
             vals = vals[:, ::-1]
+        if len(lon) > 1 and lon[0] > lon[-1]:  # descending lon too
+            lon = lon[::-1]
+            vals = vals[:, :, ::-1]
         iy = np.where((lat >= lo_y) & (lat <= hi_y))[0]
         ix = np.where((lon >= lo_x) & (lon <= hi_x))[0]
         vals = vals[:, iy][:, :, ix]

@@ -227,7 +227,7 @@ def get_oedb_windturbineconfig(search=None, **search_params):
     if _oedb_turbines is None:
         import pandas as pd
 
-        result = requests.get(OEDB_URL)
+        result = requests.get(OEDB_URL, timeout=60.0)
         df = pd.DataFrame.from_dict(result.json())
         _oedb_turbines = df[df.has_power_curve]
 

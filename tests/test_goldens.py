@@ -210,7 +210,7 @@ def test_oedb_turbine_download_mocked(monkeypatch):
 
     import requests
 
-    monkeypatch.setattr(requests, "get", lambda url: _Resp())
+    monkeypatch.setattr(requests, "get", lambda url, **kw: _Resp())
     monkeypatch.setattr(R, "_oedb_turbines", None)
 
     conf = R.get_oedb_windturbineconfig("E-101")
