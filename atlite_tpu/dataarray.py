@@ -210,7 +210,14 @@ class DataArray:
         if dim is None:
             return fn(v, **kw)
         axis = self.get_axis_num(dim)
-        with np.errstate(invalid="ignore"):  # all-NaN slices
+        import warnings as _warnings
+
+        with np.errstate(invalid="ignore"), _warnings.catch_warnings():
+            # all-NaN slices legitimately reduce to NaN (xarray is
+            # equally silent about them)
+            _warnings.filterwarnings("ignore", r"Mean of empty slice|"
+                                     r"All-NaN (slice|axis) encountered",
+                                     RuntimeWarning)
             values = fn(v, axis=axis, **kw)
         dims = tuple(d for d in self.dims if d != dim)
         coords = {d: c for d, c in self.coords.items() if d != dim}
